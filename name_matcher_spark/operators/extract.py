@@ -1,0 +1,48 @@
+"""Entity extraction: pages(url, warc_ts, html, text, lang) -> person rows.
+
+The fixture pages embed one canonical entity block per page (fixtures/
+pages.py); extraction recovers it byte-identically (the BASELINE.json
+per-row invariant) and parses typed fields. Everything is JVM regexp —
+no Python in the scan path, so Catalyst prunes/pushes down freely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (?s) so '.' crosses newlines inside the entity block.
+_ENTITY_RE = '(?s)<div class="entity">\n(.*?)\n</div>'
+_NAME_RE = "NAME: ([^|\n]*)\\|([^|\n]*)\\|([^|\n]*)"
+_BORN_RE = "BORN: ([0-9-]+)"
+_HH_RE = "HH: (.*)"
+
+
+def extract_entities(pages: DataFrame) -> DataFrame:
+    """pages -> (url, warc_ts, lang, entity_text, id, first_name,
+    middle_name, last_name, birthdate, hh_id).
+
+    The numeric id comes from the url tail (fixture pages are keyed by
+    person id); real crawls would instead hash the url. Empty-string
+    middle/hh parse back to NULL (round-trip of the writer's
+    None -> "" rendering).
+    """
+    ent = F.regexp_extract("text", _ENTITY_RE, 1)
+    out = pages.withColumn("entity_text", ent)
+    nullif = lambda c: F.when(c == "", F.lit(None).cast("string")).otherwise(c)  # noqa: E731
+    return out.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "entity_text",
+        # try_cast / try_to_date, NOT cast/to_date: under ANSI mode
+        # (Spark 4 default) a single malformed page would otherwise
+        # fail the whole job — at crawl scale malformed rows are a
+        # certainty, so they must degrade to NULL, not throw.
+        F.regexp_extract("url", "/p([0-9]+)$", 1).try_cast("long").alias("id"),
+        nullif(F.regexp_extract("entity_text", _NAME_RE, 1)).alias("first_name"),
+        nullif(F.regexp_extract("entity_text", _NAME_RE, 2)).alias("middle_name"),
+        nullif(F.regexp_extract("entity_text", _NAME_RE, 3)).alias("last_name"),
+        F.try_to_date(F.regexp_extract("entity_text", _BORN_RE, 1)).alias("birthdate"),
+        nullif(F.regexp_extract("entity_text", _HH_RE, 1)).alias("hh_id"),
+    )

@@ -1,0 +1,108 @@
+"""Per-record derived columns — the reference's FuzzyCache + blocking keys
+(src/matching/mod.rs:1583-1602, 1045-1071) as a single projection.
+
+Computed ONCE per record before any join (the reference precomputes the
+same values per record to avoid per-pair recomputation; here that also
+keeps the pair hot path JVM-only except Jaro-Winkler). All Python work
+is Arrow-batched with distinct-value caching.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.normalize import (
+    normalize_for_phonetic_py,
+    normalize_simple_col,
+    normalize_text_udf,
+    simple_full_col,
+)
+from ..functions.phonetic import double_metaphone, soundex4
+
+
+@pandas_udf(StringType())
+def soundex4_udf(s: pd.Series) -> pd.Series:
+    uniques = s.dropna().unique()
+    mapping = {u: soundex4(u) for u in uniques}
+    return s.map(mapping, na_action="ignore").fillna("0000")
+
+
+@pandas_udf(StringType())
+def dmeta_udf(full: pd.Series) -> pd.Series:
+    """double_metaphone(normalize_for_phonetic(full)) — mod.rs:83-99."""
+    uniques = full.dropna().unique()
+    mapping = {u: double_metaphone(normalize_for_phonetic_py(u)) for u in uniques}
+    return full.map(mapping, na_action="ignore").fillna("")
+
+
+def first_alpha_initial(col: Column) -> Column:
+    """First ASCII-alphabetic char, uppercased; '?' when none
+    (mod.rs:1055-1056)."""
+    extracted = F.upper(F.regexp_extract(F.coalesce(col, F.lit("")), "[a-zA-Z]", 0))
+    return F.when(extracted == "", F.lit("?")).otherwise(extracted)
+
+
+def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
+    """Project a person table (id, uuid?, first_name, middle_name,
+    last_name, birthdate, hh_id?) to its matching-ready form.
+
+    Adds:
+      norm_first/norm_middle/norm_last — normalize_text (diacritic strip)
+      simple_first/simple_middle/simple_last — normalize_simple of the above
+      full — normalize_simple'd full name ("f m l" 3-field or "f l" 2-field;
+             missing middle yields the reference's double space)
+      dmeta — Double Metaphone primary code of `full`
+      birth_year, first_initial, last_initial, sx_last, block_key
+
+    One shuffle-free projection; Python confined to three pandas UDFs
+    with distinct-value caches.
+    """
+    out = (
+        df.withColumn("norm_first", normalize_text_udf(F.col("first_name")))
+        .withColumn("norm_middle", normalize_text_udf(F.col("middle_name")))
+        .withColumn("norm_last", normalize_text_udf(F.col("last_name")))
+    )
+    out = (
+        out.withColumn("simple_first", normalize_simple_col(F.coalesce("norm_first", F.lit(""))))
+        .withColumn("simple_middle", normalize_simple_col(F.coalesce("norm_middle", F.lit(""))))
+        .withColumn("simple_last", normalize_simple_col(F.coalesce("norm_last", F.lit(""))))
+    )
+    if include_middle:
+        full = simple_full_col(
+            F.col("norm_first"), F.col("norm_middle"), F.col("norm_last")
+        )
+    else:
+        full = simple_full_col(F.col("norm_first"), F.col("norm_last"))
+    out = out.withColumn("full", full).withColumn("dmeta", dmeta_udf(F.col("full")))
+
+    out = (
+        out.withColumn("birth_year", F.year("birthdate"))
+        .withColumn("first_initial", first_alpha_initial(F.col("norm_first")))
+        .withColumn("last_initial", first_alpha_initial(F.col("norm_last")))
+        .withColumn("sx_last", soundex4_udf(F.col("norm_last")))
+    )
+    # Composite key of the reference BKey (year, first init, last init,
+    # soundex4(last)) — mod.rs:1045. Rows with no birthdate or name can
+    # never match (birthdate equality gate), key is null -> dropped by
+    # the inner join.
+    out = out.withColumn(
+        "block_key",
+        F.concat_ws(
+            "|",
+            F.col("birth_year").cast("string"),
+            F.col("first_initial"),
+            F.col("last_initial"),
+            F.col("sx_last"),
+        ),
+    )
+    return out
+
+
+def with_prefix(df: DataFrame, prefix: str, keep: list[str] | None = None) -> DataFrame:
+    """Rename every column with a prefix (join-side disambiguation)."""
+    cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+    return df.select(*cols)

@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for the linkage workload.
+
+Defaults encode the scale posture required at 100 TB: AQE on (runtime
+join-side selection + skew-join splitting replaces the reference's
+hand-rolled "count both tables, index the smaller" heuristic,
+src/matching/mod.rs:3400-3403), Arrow transfer on (all scoring kernels
+are pandas UDFs over Arrow batches), and shuffle partitions sized for
+the local harness but overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("NMS_SHUFFLE_PARTITIONS", "32"))
+
+# Directory containing the name_matcher_spark package — Python workers
+# deserialize our pandas UDFs and must be able to import it regardless
+# of the caller's cwd. Local mode propagates it via PYTHONPATH; on a
+# real cluster ship the package with `spark-submit --py-files nms.zip`.
+_PKG_PARENT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_pythonpath() -> str:
+    current = os.environ.get("PYTHONPATH", "")
+    parts = [p for p in current.split(os.pathsep) if p]
+    if _PKG_PARENT not in parts:
+        parts.insert(0, _PKG_PARENT)
+    joined = os.pathsep.join(parts)
+    os.environ["PYTHONPATH"] = joined
+    return joined
+
+
+def get_spark(
+    app_name: str = "name_matcher_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with linkage-tuned defaults.
+
+    On a real cluster these same configs apply; only ``master`` and the
+    partition count change (spark-submit sets master, and
+    ``NMS_SHUFFLE_PARTITIONS`` should be ~2-3x total cores).
+    """
+    master = master or os.environ.get("NMS_MASTER", "local[*]")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    pythonpath = _ensure_pythonpath()
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime broadcast decisions, partition
+        # coalescing, and skew-join splitting (hot blocking keys).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64m",
+        )
+        # Arrow channel for every pandas UDF (scoring kernels).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # Timestamps in the testdata are TIMESTAMP_NTZ-ish micros; keep
+        # session TZ fixed so date extraction is deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("NMS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.executorEnv.PYTHONPATH", pythonpath)
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

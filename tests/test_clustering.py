@@ -1,0 +1,75 @@
+"""Connected components + extraction round-trip."""
+
+from __future__ import annotations
+
+from name_matcher_spark.fixtures.pages import make_pages
+from name_matcher_spark.fixtures.persons import make_dirty
+from name_matcher_spark.operators.clustering import (
+    cluster_pairs,
+    connected_components,
+)
+from name_matcher_spark.operators.extract import extract_entities
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (5, 5)}
+
+
+def test_connected_components_chain(spark):
+    # A longer chain exercises multi-iteration propagation.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], ["src", "dst"]
+    )
+    got = connected_components(edges).collect()
+    assert all(r.cluster_id == 1 for r in got)
+    assert len(got) == 20
+
+
+def test_cluster_pairs_namespaces(spark):
+    pairs = spark.createDataFrame(
+        [(1, 7, 1.0), (2, 7, 1.0), (3, 9, 0.5)],
+        ["id_1", "id_2", "confidence"],
+    )
+    got = {
+        (r.side, r.id, r.cluster_id)
+        for r in cluster_pairs(pairs, threshold=0.95).collect()
+    }
+    # a1-b7-a2 form one cluster (min encoded node = 2*1 = 2);
+    # the 0.5-confidence pair is below threshold -> no cluster.
+    assert got == {("a", 1, 2), ("b", 7, 2), ("a", 2, 2)}
+
+
+def test_extraction_byte_identical(spark):
+    """BASELINE.json per-row invariant: extracted entity text per url is
+    byte-identical to the generator's expected value."""
+    a_pd, _, _ = make_dirty(300)
+    pages_pd = make_pages(a_pd, table_tag="a")
+    pages = spark.createDataFrame(pages_pd)
+    extracted = extract_entities(pages.drop("expected_entity"))
+    joined = (
+        extracted.select("url", "entity_text")
+        .join(pages.select("url", "expected_entity"), "url")
+        .collect()
+    )
+    assert len(joined) == 300
+    for r in joined:
+        assert r.entity_text == r.expected_entity, r.url
+
+
+def test_extraction_field_parse(spark):
+    a_pd, _, _ = make_dirty(100)
+    pages = spark.createDataFrame(make_pages(a_pd, "a")).drop("expected_entity")
+    ext = extract_entities(pages).orderBy("id").toPandas()
+    assert list(ext["id"]) == list(a_pd["id"])
+    assert list(ext["first_name"]) == list(a_pd["first_name"])
+    # None round-trips through the "" rendering
+    assert [m if m is not None else None for m in ext["middle_name"]] == list(
+        a_pd["middle_name"]
+    )
+    assert list(ext["birthdate"]) == list(a_pd["birthdate"])

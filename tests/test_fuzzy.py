@@ -1,0 +1,151 @@
+"""Fuzzy ladder behavior (mod.rs:2713-2729) + F1 on the dirty fixture."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from name_matcher_spark.fixtures.persons import make_dirty
+from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+from name_matcher_spark.operators.prepare import prepare_persons
+
+SCHEMA = "id long, uuid string, first_name string, middle_name string, last_name string, birthdate date, hh_id string"
+
+
+def _prep(spark, rows, include_middle):
+    return prepare_persons(spark.createDataFrame(rows, SCHEMA), include_middle)
+
+
+def test_jon_john_matches(spark):
+    bd = date(1990, 1, 1)
+    t1 = _prep(spark, [(1, "u", "Jon", None, "Smith", bd, None)], False)
+    t2 = _prep(spark, [(2, "v", "John", None, "Smith", bd, None)], False)
+    rows = match_fuzzy(t1, t2, include_middle=False).collect()
+    assert len(rows) == 1
+    assert rows[0].confidence > 0.85
+
+
+def test_direct_match_score_100(spark):
+    bd = date(1990, 1, 1)
+    t1 = _prep(spark, [(1, "u", "Ann", None, "Lee", bd, None)], False)
+    t2 = _prep(spark, [(2, "v", "Ann", None, "Lee", bd, None)], False)
+    rows = match_fuzzy(t1, t2, include_middle=False).collect()
+    assert len(rows) == 1
+    assert rows[0].match_case == "DIRECT MATCH"
+    assert rows[0].score == 100.0
+
+
+def test_birthdate_gate(spark):
+    t1 = _prep(spark, [(1, "u", "Ann", None, "Lee", date(1990, 1, 1), None)], False)
+    t2 = _prep(spark, [(2, "v", "Ann", None, "Lee", date(1991, 1, 1), None)], False)
+    assert match_fuzzy(t1, t2, include_middle=False).count() == 0
+
+
+def test_unrelated_names_no_match(spark):
+    bd = date(1990, 1, 1)
+    t1 = _prep(spark, [(1, "u", "Xavier", None, "Quintana", bd, None)], False)
+    t2 = _prep(spark, [(2, "v", "Maria", None, "Brown", bd, None)], False)
+    # birthdate blocking would pair them; the ladder must reject.
+    assert match_fuzzy(t1, t2, include_middle=False, blocking="birthdate").count() == 0
+
+
+def test_cascade_no_double_emit(spark):
+    """A probe matched by the exact block must not also emit from the
+    fallback branches (mod.rs:1086-1095 sequential cascade)."""
+    bd = date(1990, 1, 1)
+    t1 = _prep(spark, [(1, "u", "John", None, "Li", bd, None)], False)
+    # Build side: one exact-block row and one row that would be reachable
+    # only via the '?' fallback (no alphabetic first name).
+    t2 = _prep(
+        spark,
+        [
+            (2, "v", "John", None, "Li", bd, None),
+            (3, "w", "...", None, "Li", bd, None),
+        ],
+        False,
+    )
+    rows = match_fuzzy(t1, t2, include_middle=False).collect()
+    assert {(r.id_1, r.id_2) for r in rows} == {(1, 2)}
+
+
+def _oracle_pairs(a_pd, b_pd, include_middle):
+    """Pure-Python mirror of the reference pipeline: normalize_text on
+    fields, birthdate-gated candidates, exact ladder semantics. Returns
+    {(id_a, id_b): score}."""
+    from collections import defaultdict
+
+    from name_matcher_spark.functions.fuzzy import fuzzy_compare_py
+    from name_matcher_spark.functions.normalize import strip_diacritics_lower_trim
+
+    def norm_row(r):
+        return (
+            r.id,
+            strip_diacritics_lower_trim(r.first_name),
+            strip_diacritics_lower_trim(r.middle_name),
+            strip_diacritics_lower_trim(r.last_name),
+            r.birthdate,
+        )
+
+    by_date = defaultdict(list)
+    for r in b_pd.itertuples():
+        by_date[r.birthdate].append(norm_row(r))
+    out = {}
+    for r in a_pd.itertuples():
+        rid, f1_, m1, l1, bd = norm_row(r)
+        for (rid2, f2, m2, l2, _) in by_date.get(bd, ()):
+            res = fuzzy_compare_py(f1_, m1, l1, f2, m2, l2, include_middle)
+            if res is not None:
+                out[(rid, rid2)] = res[0]
+    return out
+
+
+@pytest.mark.parametrize("include_middle", [False, True])
+def test_parity_f1_vs_reference_oracle(spark, include_middle):
+    """Parity gate (BASELINE.json): the Spark pipeline's matched pairs
+    at the export threshold must equal a pure-Python mirror of the
+    reference's in-memory semantics — pairwise F1 >= 0.99."""
+    a_pd, b_pd, _ = make_dirty(1500)
+    a = prepare_persons(spark.createDataFrame(a_pd), include_middle)
+    b = prepare_persons(spark.createDataFrame(b_pd), include_middle)
+
+    got = match_fuzzy(a, b, include_middle=include_middle, blocking="birthdate").toPandas()
+    predicted = {(r.id_1, r.id_2) for r in got.itertuples() if r.confidence >= 0.95}
+
+    oracle = _oracle_pairs(a_pd, b_pd, include_middle)
+    actual = {k for k, score in oracle.items() if score / 100.0 >= 0.95}
+
+    tp = len(predicted & actual)
+    precision = tp / len(predicted) if predicted else 1.0
+    recall = tp / len(actual) if actual else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (
+        f"F1={f1:.4f} precision={precision:.4f} recall={recall:.4f} "
+        f"only_spark={sorted(predicted - actual)[:5]} "
+        f"only_oracle={sorted(actual - predicted)[:5]}"
+    )
+    # Scores must agree numerically, too (same kernels, same ladder).
+    for r in got.itertuples():
+        if (r.id_1, r.id_2) in oracle:
+            assert abs(r.score - oracle[(r.id_1, r.id_2)]) < 1e-9
+
+
+def test_provenance_recall_exact_variants(spark):
+    """Every exact-copy overlap pair must be recalled as DIRECT MATCH;
+    typo'd pairs score per the ladder (most land below the 0.95 export
+    threshold when the metaphone vote is lost — reference behavior)."""
+    a_pd, b_pd, labeled = make_dirty(1500)
+    a = prepare_persons(spark.createDataFrame(a_pd), include_middle=False)
+    b = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
+    got = match_fuzzy(a, b, include_middle=False).toPandas()
+    predicted = {(r.id_1, r.id_2) for r in got.itertuples()}
+    # variant describes the B side only; restrict the A side to base
+    # records (ids 1..unique_count) so the pair is truly identical.
+    unique_count = int(1500 * 0.7)
+    exact_truth = {
+        (r.id_a, r.id_b)
+        for r in labeled.itertuples()
+        if r.variant == "exact" and r.id_a <= unique_count
+    }
+    missing = exact_truth - predicted
+    assert not missing, f"missed exact pairs: {sorted(missing)[:10]}"

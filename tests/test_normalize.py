@@ -1,0 +1,92 @@
+"""Golden normalization values from the reference's own tests
+(src/normalize.rs:36-49) and FIXTURES.md §5."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from name_matcher_spark.functions.normalize import (
+    normalize_for_phonetic_py,
+    normalize_simple_col,
+    normalize_simple_py,
+    normalize_text_udf,
+    simple_full_col,
+    strip_diacritics_lower_trim,
+)
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("Álvaro", "alvaro"),
+        ("  José  ", "jose"),
+        ("ÉÉ", "ee"),
+        ("Łukasz", "łukasz"),  # Ł has no combining-mark decomposition
+        ("O'Brien", "o'brien"),
+        ("", ""),
+        ("Ó Súilleabháin", "o suilleabhain"),
+    ],
+)
+def test_strip_diacritics(raw, expected):
+    assert strip_diacritics_lower_trim(raw) == expected
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("p.", "p"),
+        ("Mc-Donald", "mc donald"),
+        ("  John  ", "john"),
+        ("J.R.", "jr"),
+        ("Smith-", "smith "),  # trim happens BEFORE '-' -> ' '
+        ("", ""),
+    ],
+)
+def test_normalize_simple_py(raw, expected):
+    assert normalize_simple_py(raw) == expected
+
+
+def test_normalize_simple_col_matches_py(spark):
+    values = ["p.", "Mc-Donald", "  John  ", "J.R.", "Smith-", "", "Ann-Marie X."]
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = [r[0] for r in df.select(normalize_simple_col(F.col("s"))).collect()]
+    assert got == [normalize_simple_py(v) for v in values]
+
+
+def test_normalize_text_udf(spark):
+    df = spark.createDataFrame([("Álvaro",), ("  José  ",), (None,)], ["s"])
+    got = [r[0] for r in df.select(normalize_text_udf(F.col("s"))).collect()]
+    assert got == ["alvaro", "jose", None]
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("José García", "jose garcia"),
+        ("Björn", "bjorn"),
+        ("Weiß", "weiss"),
+        ("Søren", "soren"),
+        ("O'Brien  Jr", "obrien jr"),
+        ("", ""),
+    ],
+)
+def test_normalize_for_phonetic(raw, expected):
+    assert normalize_for_phonetic_py(raw) == expected
+
+
+def test_simple_full_double_space(spark):
+    """A missing middle name yields the reference's double space
+    (format! with unwrap_or("") then normalize_simple, mod.rs:104)."""
+    df = spark.createDataFrame(
+        [("John", None, "Smith"), ("John", "Q", "Smith")],
+        ["f", "m", "l"],
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            simple_full_col(F.col("f"), F.col("m"), F.col("l"))
+        ).collect()
+    ]
+    assert got == ["john  smith", "john q smith"]

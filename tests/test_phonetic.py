@@ -1,0 +1,95 @@
+"""Soundex4 parity with the reference variant and Double Metaphone
+sanity on the fixture name pools."""
+
+from __future__ import annotations
+
+import pytest
+
+from name_matcher_spark.fixtures.persons import FIRST_NAMES, LAST_NAMES
+from name_matcher_spark.functions.normalize import normalize_for_phonetic_py
+from name_matcher_spark.functions.phonetic import double_metaphone, soundex4
+
+
+def _soundex4_reference(s: str) -> str:
+    """Direct transcription of mod.rs:1227-1238 for differential tests."""
+    out = ["0", "0", "0", "0"]
+    letters = [c for c in s if c.isascii() and c.isalpha()]
+    if not letters:
+        return "".join(out)
+    out[0] = letters[0].upper()
+    last, idx = 0, 1
+    table = {"b": 1, "f": 1, "p": 1, "v": 1, "c": 2, "g": 2, "j": 2, "k": 2,
+             "q": 2, "s": 2, "x": 2, "z": 2, "d": 3, "t": 3, "l": 4, "m": 5,
+             "n": 5, "r": 6}
+    for c in letters[1:]:
+        if idx >= 4:
+            break
+        d = table.get(c.lower(), 0)
+        if d != 0 and d != last:
+            out[idx] = str(d)
+            idx += 1
+        last = d
+    return "".join(out)
+
+
+@pytest.mark.parametrize(
+    ("name", "code"),
+    [
+        ("smith", "S530"),
+        ("johnson", "J525"),
+        ("", "0000"),
+        ("o'brien", "O165"),
+        ("lee", "L000"),
+        ("garcia", "G620"),
+        # vowel between duplicate-code letters resets `last` in the
+        # reference variant, so both code (standard soundex would too
+        # for vowels, but this variant also resets on h/w):
+        ("ashcraft", "A226"),  # standard soundex gives A261
+    ],
+)
+def test_soundex4_golden(name, code):
+    assert soundex4(name) == code
+
+
+def test_soundex4_differential_on_pools():
+    for n in FIRST_NAMES + LAST_NAMES:
+        norm = normalize_for_phonetic_py(n)
+        assert soundex4(norm) == _soundex4_reference(norm), n
+
+
+@pytest.mark.parametrize(
+    ("word", "code"),
+    [
+        # Canonical Double Metaphone primary codes (commons-codec).
+        ("SMITH", "SM0"),
+        ("JOHNSON", "JNSN"),
+        ("WILLIAMS", "ALMS"),
+        ("JONES", "JNS"),
+        ("GARCIA", "KRS"),
+        ("THOMPSON", "TMPS"),
+        ("KNIGHT", "NT"),
+        ("WRIGHT", "RT"),
+        ("PHILIPS", "FLPS"),
+        ("XAVIER", "SF"),
+        ("CZECH", "SK"),
+        ("SCHMIDT", "XMT"),
+        ("catherine", "K0RN"),
+        ("aubrey", "APR"),
+        ("ghislane", "JLN"),
+        ("jose", "HS"),
+        ("michael", "MKL"),
+    ],
+)
+def test_double_metaphone_golden(word, code):
+    assert double_metaphone(word) == code
+
+
+def test_double_metaphone_pools_no_crash():
+    for n in FIRST_NAMES + LAST_NAMES:
+        c = double_metaphone(normalize_for_phonetic_py(n))
+        assert isinstance(c, str) and len(c) <= 4
+
+
+def test_double_metaphone_empty():
+    assert double_metaphone("") == ""
+    assert double_metaphone(None) == ""
