@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship linkage pipeline at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator registry from
+``name_matcher_spark.harness`` (one entry per operator family in
+SURVEY.md §2, plus the training-data-pipeline operators).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from name_matcher_spark import harness  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage run at sf0.001 — derive person tables,
+    exact + fuzzy matching, transitive clustering; returns per-cluster
+    summary rows."""
+    from pyspark.sql import functions as F
+
+    from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+    from name_matcher_spark.operators.prepare import prepare_persons
+
+    sf_dir = "/root/testdata/sf0.001"
+    pa = prepare_persons(harness.persons_a(spark, sf_dir), include_middle=False)
+    pb = prepare_persons(harness.persons_b(spark, sf_dir), include_middle=False)
+    pairs = match_fuzzy(pa, pb, include_middle=False)
+    clusters = cluster_pairs(pairs, threshold=0.95)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("n_b"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(harness.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(harness.ORACLES)

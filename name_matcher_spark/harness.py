@@ -1,0 +1,864 @@
+"""Driver-contract query registry: paired (Spark DataFrame, DuckDB SQL)
+implementations of every operator family in SURVEY.md §2.
+
+Each `q_*` Spark callable takes (spark, sf_dir) and runs against the
+driver's parquet tables; `ORACLES[name]` is the ANSI-SQL equivalent
+DuckDB runs on the same tables. Column names and float rounding are
+aligned on both sides so the driver's order-insensitive value-hash
+comparison holds.
+
+The linkage queries derive deterministic person tables from customer/
+orders (ASCII name pools indexed by key arithmetic — expressible
+identically in both dialects) and then run the REAL engine operators
+(prepare_persons, match_algo1/2, match_fuzzy, households_option5,
+cluster_pairs) on the Spark side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.similarity import jaro_winkler_pct_udf, lev_pct_col
+from .operators.clustering import cluster_pairs
+from .operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dupes,
+)
+from .operators.exact import match_algo1, match_algo2
+from .operators.fuzzy_join import match_fuzzy
+from .operators.household import households_option5
+from .operators.multimodal import extract_media_features
+from .operators.prepare import prepare_persons
+from .operators.simsearch import cosine_topk, lsh_cosine_topk
+from .operators.text import LANG_MARKERS, lang_id, quality_metrics, token_count
+
+# ---------------------------------------------------------------------------
+# Shared derivation constants (single source of truth for both dialects)
+# ---------------------------------------------------------------------------
+
+# ASCII-only pools: normalize_text == lower() on these, which keeps the
+# DuckDB oracle expressible while the Spark side still runs the full
+# diacritic-stripping UDF path.
+FIRST_POOL = [
+    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
+    "Linda", "William", "Elizabeth", "David", "Barbara", "Richard", "Susan",
+    "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Daniel",
+    "Nancy", "Matthew", "Lisa", "Anthony", "Betty", "Mark", "Margaret",
+    "Donald", "Sandra", "Steven", "Ashley", "Paul", "Kimberly", "Andrew",
+    "Emily", "Joshua", "Donna", "Kevin", "Michelle",
+]
+LAST_POOL = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
+    "Lee", "Perez", "Thompson", "White", "Harris", "Sanchez", "Clark",
+    "Ramirez", "Lewis", "Robinson", "Walker", "Young", "Allen", "King",
+    "Wright", "Scott", "Torres", "Nguyen", "Hill", "Flores",
+]
+MIDDLE_POOL = [
+    "Lee", "Ann", "Marie", "Lynn", "Ray", "Mae", "Jo", "Jay", "Kim", "Sue",
+    "Ana", "Bo", "Cy", "Dee", "Eve", "Fay", "Gil", "Hal", "Ivy", "Kay",
+]
+
+N_FIRST, N_LAST, N_MID = len(FIRST_POOL), len(LAST_POOL), len(MIDDLE_POOL)
+
+
+def _sql_list(pool: list[str]) -> str:
+    return "[" + ",".join("'" + p + "'" for p in pool) + "]"
+
+
+def _views_sql(sf_dir: str, *tables: str) -> str:
+    """DuckDB-side CTE prologue is unnecessary — the driver registers
+    the tables as views; this helper is used by local self-checks."""
+    return "\n".join(
+        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet');"
+        for t in tables
+    )
+
+
+# --- derived person tables --------------------------------------------------
+
+PERSONS_A_SQL = f"""
+SELECT
+  c_custkey AS id,
+  'U' || CAST(c_custkey % 700 AS VARCHAR) AS uuid,
+  ({_sql_list(FIRST_POOL)})[CAST((c_custkey * 7) % {N_FIRST} AS INT) + 1] AS first_name,
+  CASE WHEN c_custkey % 3 = 0
+       THEN ({_sql_list(MIDDLE_POOL)})[CAST((c_custkey * 11) % {N_MID} AS INT) + 1]
+       ELSE NULL END AS middle_name,
+  ({_sql_list(LAST_POOL)})[CAST((c_custkey * 13) % {N_LAST} AS INT) + 1] AS last_name,
+  DATE '1950-01-01' + CAST((c_custkey * 37) % 20000 AS INT) AS birthdate,
+  CAST(NULL AS VARCHAR) AS hh_id
+FROM customer
+"""
+
+# persons_b derives its name fields from o_custkey (so matches against
+# persons_a exist, with realistic per-customer multiplicity/skew) and
+# injects deterministic variation: every 7th order gets a typo'd first
+# name, every 5th drops the middle name.
+PERSONS_B_SQL = f"""
+SELECT
+  o_orderkey AS id,
+  'V' || CAST(o_orderkey AS VARCHAR) AS uuid,
+  CASE WHEN o_orderkey % 7 = 0
+       THEN substr(base_first, 1, 1) || 'x' || substr(base_first, 3)
+       ELSE base_first END AS first_name,
+  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE base_middle END AS middle_name,
+  ({_sql_list(LAST_POOL)})[CAST((o_custkey * 13) % {N_LAST} AS INT) + 1] AS last_name,
+  DATE '1950-01-01' + CAST((o_custkey * 37) % 20000 AS INT) AS birthdate,
+  'H' || CAST(o_custkey % 350 AS VARCHAR) AS hh_id
+FROM (
+  SELECT o_orderkey, o_custkey,
+    ({_sql_list(FIRST_POOL)})[CAST((o_custkey * 7) % {N_FIRST} AS INT) + 1] AS base_first,
+    CASE WHEN o_custkey % 3 = 0
+         THEN ({_sql_list(MIDDLE_POOL)})[CAST((o_custkey * 11) % {N_MID} AS INT) + 1]
+         ELSE NULL END AS base_middle
+  FROM orders
+) o
+"""
+
+
+def _pool_at(pool: list[str], idx_col) -> F.Column:
+    return F.element_at(F.array(*[F.lit(p) for p in pool]), idx_col + 1)
+
+
+def persons_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    return c.select(
+        k.alias("id"),
+        F.concat(F.lit("U"), (k % 700).cast("string")).alias("uuid"),
+        _pool_at(FIRST_POOL, ((k * 7) % N_FIRST).cast("int")).alias("first_name"),
+        F.when(
+            k % 3 == 0, _pool_at(MIDDLE_POOL, ((k * 11) % N_MID).cast("int"))
+        ).alias("middle_name"),
+        _pool_at(LAST_POOL, ((k * 13) % N_LAST).cast("int")).alias("last_name"),
+        F.date_add(F.to_date(F.lit("1950-01-01")), ((k * 37) % 20000).cast("int")).alias(
+            "birthdate"
+        ),
+        F.lit(None).cast("string").alias("hh_id"),
+    )
+
+
+def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey").cast("long")
+    ck = F.col("o_custkey").cast("long")
+    base_first = _pool_at(FIRST_POOL, ((ck * 7) % N_FIRST).cast("int"))
+    base_middle = F.when(
+        ck % 3 == 0, _pool_at(MIDDLE_POOL, ((ck * 11) % N_MID).cast("int"))
+    )
+    return o.select(
+        ok.alias("id"),
+        F.concat(F.lit("V"), ok.cast("string")).alias("uuid"),
+        F.when(
+            ok % 7 == 0,
+            F.concat(
+                F.substring(base_first, 1, 1),
+                F.lit("x"),
+                base_first.substr(F.lit(3), F.length(base_first)),
+            ),
+        )
+        .otherwise(base_first)
+        .alias("first_name"),
+        F.when(ok % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(base_middle)
+        .alias("middle_name"),
+        _pool_at(LAST_POOL, ((ck * 13) % N_LAST).cast("int")).alias("last_name"),
+        F.date_add(F.to_date(F.lit("1950-01-01")), ((ck * 37) % 20000).cast("int")).alias(
+            "birthdate"
+        ),
+        F.concat(F.lit("H"), (ck % 350).cast("string")).alias("hh_id"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A. Relational core
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash agg. Decimal sums keep
+    the oracle hash-stable."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    out = (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        "count_order",
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    return (
+        joined.orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+Q_SHIPPING_SQL = """
+SELECT l_orderkey,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer by total price."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (the batch mirror of the Structured
+    Streaming pipeline in streaming/events.py)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum (30-min gap)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    with_sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        with_sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Linkage
+# ---------------------------------------------------------------------------
+
+
+def lk_persons_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived person table itself — pins the derivation parity
+    every other linkage oracle depends on."""
+    return persons_a(spark, sf_dir)
+
+
+def lk_algo1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    return match_algo1(pa, pb).select("id_1", "id_2")
+
+
+LK_ALGO1_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL})
+SELECT a.id AS id_1, b.id AS id_2
+FROM pa a JOIN pb b
+  ON lower(a.first_name) = lower(b.first_name)
+ AND lower(a.last_name) = lower(b.last_name)
+ AND a.birthdate = b.birthdate
+"""
+
+
+def lk_algo2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    return match_algo2(pa, pb).select("id_1", "id_2")
+
+
+LK_ALGO2_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL})
+SELECT a.id AS id_1, b.id AS id_2
+FROM pa a JOIN pb b
+  ON lower(a.first_name) = lower(b.first_name)
+ AND lower(a.last_name) = lower(b.last_name)
+ AND a.birthdate = b.birthdate
+ AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
+"""
+
+
+def lk_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key generation + per-block sizes (skew visibility)."""
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    return (
+        pa.groupBy("birth_year", "first_initial", "last_initial")
+        .agg(F.count("*").alias("block_rows"))
+    )
+
+
+LK_BLOCKING_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL})
+SELECT CAST(year(birthdate) AS INT) AS birth_year,
+  upper(substr(first_name, 1, 1)) AS first_initial,
+  upper(substr(last_name, 1, 1)) AS last_initial,
+  count(*) AS block_rows
+FROM pa GROUP BY 1, 2, 3
+"""
+
+
+def lk_lev_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity kernels head-to-head with DuckDB's: candidate pairs
+    on exact birthdate, Levenshtein-pct (byte denominator) and
+    Jaro-Winkler >= 85 gate."""
+    pa = persons_a(spark, sf_dir).select(
+        F.col("id").alias("id_1"),
+        F.lower(F.concat_ws(" ", "first_name", "last_name")).alias("fa"),
+        F.col("birthdate").alias("bd"),
+    )
+    pb = persons_b(spark, sf_dir).select(
+        F.col("id").alias("id_2"),
+        F.lower(F.concat_ws(" ", "first_name", "last_name")).alias("fb"),
+        F.col("birthdate").alias("bd"),
+    )
+    pairs = pa.join(pb, "bd")
+    scored = pairs.select(
+        "id_1",
+        "id_2",
+        F.round(lev_pct_col(F.col("fa"), F.col("fb")), 2).alias("lev_pct"),
+        F.round(jaro_winkler_pct_udf(F.col("fa"), F.col("fb")), 2).alias("jw_pct"),
+    )
+    return scored.filter((F.col("lev_pct") >= 85.0) & (F.col("jw_pct") >= 85.0))
+
+
+LK_LEV_JW_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, b.id AS id_2,
+    lower(a.first_name || ' ' || a.last_name) AS fa,
+    lower(b.first_name || ' ' || b.last_name) AS fb
+  FROM pa a JOIN pb b ON a.birthdate = b.birthdate
+)
+SELECT id_1, id_2,
+  round((1.0 - CAST(levenshtein(fa, fb) AS DOUBLE) / greatest(strlen(fa), strlen(fb))) * 100.0, 2) AS lev_pct,
+  round(jaro_winkler_similarity(fa, fb) * 100.0, 2) AS jw_pct
+FROM pairs
+WHERE (1.0 - CAST(levenshtein(fa, fb) AS DOUBLE) / greatest(strlen(fa), strlen(fb))) * 100.0 >= 85.0
+  AND jaro_winkler_similarity(fa, fb) * 100.0 >= 85.0
+"""
+
+
+def lk_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy ladder (Double Metaphone has no SQL equivalent ->
+    rows-only oracle check)."""
+    pa = prepare_persons(persons_a(spark, sf_dir), include_middle=False)
+    pb = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
+    out = match_fuzzy(pa, pb, include_middle=False)
+    return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+
+
+def lk_household_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option-5 household aggregation over algo1 pairs."""
+    pa_raw = persons_a(spark, sf_dir)
+    pa = prepare_persons(pa_raw)
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    pairs = match_algo1(pa, pb)
+    hh = persons_b(spark, sf_dir).select(
+        F.col("id").alias("id_2"), F.col("hh_id").alias("hh_id_2")
+    )
+    pairs_hh = pairs.join(hh, "id_2")
+    out = households_option5(pairs_hh, pa_raw, threshold=0.95)
+    return out.select(
+        "row_id", "uuid", "hh_id", F.round("match_percentage", 4).alias("match_percentage")
+    )
+
+
+LK_HOUSEHOLD_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, a.uuid AS uuid_1, b.id AS id_2,
+         coalesce(b.hh_id, CAST(b.id AS VARCHAR)) AS hh_key
+  FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+  WHERE a.uuid IS NOT NULL
+),
+assigned AS (
+  SELECT id_1, uuid_1, min(hh_key) AS hh_key
+  FROM pairs GROUP BY id_1, uuid_1
+  HAVING count(DISTINCT hh_key) = 1
+),
+members AS (
+  SELECT uuid_1, hh_key, count(DISTINCT id_1) AS members
+  FROM assigned GROUP BY uuid_1, hh_key
+),
+totals AS (
+  SELECT uuid, count(*) AS total FROM pa WHERE uuid IS NOT NULL GROUP BY uuid
+),
+pct AS (
+  SELECT m.uuid_1 AS uuid, m.hh_key AS hh_id,
+         m.members * 100.0 / t.total AS match_percentage
+  FROM members m JOIN totals t ON m.uuid_1 = t.uuid
+  WHERE m.members * 100.0 / t.total > 50.0
+)
+SELECT CAST(row_number() OVER (ORDER BY uuid, hh_id) AS INT) AS row_id,
+       uuid, hh_id, round(match_percentage, 4) AS match_percentage
+FROM pct
+"""
+
+
+def lk_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clustering of algo1 pairs (connected components)."""
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    pairs = match_algo1(pa, pb)
+    return cluster_pairs(pairs, threshold=0.95)
+
+
+LK_CLUSTERS_SQL = f"""
+WITH RECURSIVE pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, b.id AS id_2
+  FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+),
+edges AS (
+  SELECT id_1 * 2 AS src, id_2 * 2 + 1 AS dst FROM pairs
+  UNION
+  SELECT id_2 * 2 + 1 AS src, id_1 * 2 AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+       CAST(node // 2 AS BIGINT) AS id,
+       min(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. Dedup / text / vectors / multimodal
+# ---------------------------------------------------------------------------
+
+
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup. The documents table has no byte-identical dupes, so
+    the query self-unions a shifted copy (both dialects) to exercise
+    non-trivial groups."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(dup))
+
+
+DD_EXACT_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM docs2
+),
+groups AS (
+  SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM hashed GROUP BY h HAVING count(*) >= 2
+)
+SELECT hashed.doc_id, groups.canonical_id, groups.group_size
+FROM hashed JOIN groups ON hashed.h = groups.h
+"""
+
+
+def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), k=5, num_hashes=8, bands=4
+    )
+
+
+def _minhash_sql() -> str:
+    hash_cols = ",\n    ".join(
+        f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+offsets AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
+  FROM docs2 WHERE strlen(t) >= 5
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM offsets
+),
+sigs AS (
+  SELECT doc_id, {hash_cols}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+DD_MINHASH_SQL = _minhash_sql()
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), candidates=None, k=3, threshold=0.62
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+DD_NGRAM_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+offsets AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 2)) AS i
+  FROM docs2 WHERE strlen(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM offsets
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON i.id_a = na.doc_id
+JOIN sizes nb ON i.id_b = nb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.62
+"""
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 has no DuckDB equivalent ->
+    rows-only)."""
+    return simhash_near_dupes(_docs(spark, sf_dir), k=4, max_hamming=3)
+
+
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_metrics(_docs(spark, sf_dir))
+
+
+TXT_QUALITY_SQL = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+       THEN round(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+       ELSE 0.0 END AS mean_token_len,
+  CASE WHEN length(text) > 0
+       THEN round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 4)
+       ELSE 0.0 END AS punct_ratio,
+  CASE WHEN length(text) > 0
+       THEN round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text), 4)
+       ELSE 0.0 END AS upper_ratio,
+  CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+       THEN round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with)\\b')) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+       ELSE 0.0 END AS stopword_ratio
+FROM documents
+"""
+
+
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _langid_sql() -> str:
+    hit_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b')) AS {lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents),
+m AS (SELECT doc_id, en, es, de, fr, greatest(en, es, de, fr) AS mx FROM h)
+SELECT doc_id,
+  CASE WHEN mx = 0 THEN 'und'
+       WHEN en = mx THEN 'en'
+       WHEN es = mx THEN 'es'
+       WHEN de = mx THEN 'de'
+       ELSE 'fr' END AS detected_lang,
+  CAST(mx AS BIGINT) AS lang_score
+FROM m
+"""
+
+
+TXT_LANGID_SQL = _langid_sql()
+
+
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+TXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def txt_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    from .operators.text import bpe_ish_token_count
+
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+TXT_TOKENS_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 53 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+SIM_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 53 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+    round(list_dot_product(q.qv, c.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (hyperplane signatures; rows-only oracle)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 53 == 0)
+    return lsh_cosine_topk(emb, queries, dim=64, k=5, bits=8, tables=4)
+
+
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize a binary media column from the
+    documents table, run the mapInPandas feature extractor (fake
+    decode; see operators/multimodal.py). Rows-only oracle."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+    )
+    out = extract_media_features(d, fake=True)
+    return out.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "digest",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_shipping_priority": q_shipping_priority,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessions": q_events_sessions,
+    "lk_persons_profile": lk_persons_profile,
+    "lk_algo1_pairs": lk_algo1_pairs,
+    "lk_algo2_pairs": lk_algo2_pairs,
+    "lk_blocking_keys": lk_blocking_keys,
+    "lk_lev_jw_scores": lk_lev_jw_scores,
+    "lk_fuzzy_pairs": lk_fuzzy_pairs,
+    "lk_household_pct": lk_household_pct,
+    "lk_clusters": lk_clusters,
+    "dd_exact_groups": dd_exact_groups,
+    "dd_minhash_bands": dd_minhash_bands,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_simhash": dd_simhash,
+    "txt_quality": txt_quality,
+    "txt_langid": txt_langid,
+    "txt_fingerprint": txt_fingerprint,
+    "txt_token_counts": txt_token_counts,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "mm_media_features": mm_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q_pricing_summary": Q_PRICING_SQL,
+    "q_shipping_priority": Q_SHIPPING_SQL,
+    "q_top_orders_per_customer": Q_TOP_ORDERS_SQL,
+    "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+    "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
+    "lk_persons_profile": PERSONS_A_SQL,
+    "lk_algo1_pairs": LK_ALGO1_SQL,
+    "lk_algo2_pairs": LK_ALGO2_SQL,
+    "lk_blocking_keys": LK_BLOCKING_SQL,
+    "lk_lev_jw_scores": LK_LEV_JW_SQL,
+    "lk_household_pct": LK_HOUSEHOLD_SQL,
+    "lk_clusters": LK_CLUSTERS_SQL,
+    "dd_exact_groups": DD_EXACT_SQL,
+    "dd_minhash_bands": DD_MINHASH_SQL,
+    "dd_ngram_jaccard": DD_NGRAM_SQL,
+    "txt_quality": TXT_QUALITY_SQL,
+    "txt_langid": TXT_LANGID_SQL,
+    "txt_fingerprint": TXT_FINGERPRINT_SQL,
+    "txt_token_counts": TXT_TOKENS_SQL,
+    "sim_cosine_topk": SIM_COSINE_SQL,
+    # rows-only (non-SQL-expressible): lk_fuzzy_pairs (Double Metaphone),
+    # dd_simhash (xxhash64), sim_lsh_topk (seeded hyperplanes),
+    # mm_media_features (mapInPandas stub).
+}

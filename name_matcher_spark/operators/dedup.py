@@ -1,0 +1,235 @@
+"""Document deduplication for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order and
+each tier only sees what the previous one kept:
+
+1. exact        — md5 hash-groupBy (one shuffle on a 16-byte key)
+2. minhash_lsh  — shingle -> minhash signature -> banded buckets ->
+                  candidate join inside buckets only
+3. simhash      — 64-bit fingerprint, hamming-bucket join
+4. ngram_jaccard— exact Jaccard verification on candidate pairs
+
+Portability note: minhash uses md5-of-(gram || seed) with the MIN taken
+over the HEX STRING ordering. That is deliberate — md5 exists in both
+Spark and DuckDB with identical output, so the whole operator is
+oracle-checkable, and string-min is as valid a min-wise hash as any
+integer min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    """lower + collapse whitespace: canonical form for hashing."""
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (doc_id, canonical_id, group_size) for every member of a
+    group with >= 2 docs; canonical_id = min doc_id of the group.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.encode(_norm_text(F.col(text_col)), "UTF-8")).alias("h")
+    )
+    groups = (
+        hashed.groupBy("h")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return (
+        hashed.join(groups, "h")
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct k-gram (character) shingles per document, JVM-only:
+    posexplode over a sequence of offsets + substring."""
+    norm = _norm_text(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), norm.alias("t"))
+        .filter(F.length("t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - (k - 1)),
+                    lambda i: F.substr(F.col("t"), i, F.lit(k)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — min over md5(gram || ':' || i) strings.
+
+    One groupBy computes every hash column (partial aggregation
+    map-side; no per-hash shuffle).
+    """
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.col("gram"), F.lit(f":{i}")), "UTF-8"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH.
+
+    rows-per-band = num_hashes // bands; docs sharing ANY band bucket
+    become a candidate pair (id_a < id_b). The join happens inside
+    band buckets only — never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(shingles(docs, id_col, text_col, k), id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-gram Jaccard over candidate pairs (or all pairs when
+    candidates is None — test scale only; at production scale ALWAYS
+    feed LSH candidates).
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    intersection via gram equi-join; union = |A| + |B| - inter.
+    """
+    sh = shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "gram")
+    b = sh.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
+) -> DataFrame:
+    """64-bit SimHash from xxhash64 of k-gram shingles, pure JVM.
+
+    For each of 64 bits: +1 if the shingle hash has the bit set else
+    -1; fingerprint bit = sign of the sum. Computed as 64 conditional
+    sums in ONE aggregation (map-side partial agg).
+    """
+    sh = shingles(docs, id_col, text_col, k).withColumn(
+        "h", F.xxhash64(F.col("gram"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 is the sign bit; keep fingerprints positive
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(63):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dupes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Scale path: block on 4 x 16-bit chunks (pigeonhole — any pair
+    within hamming 3 agrees on at least one chunk), join per chunk,
+    verify hamming via bit_count. Never all-pairs.
+    """
+    fps = simhash64(docs, id_col, text_col, k)
+    chunks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key"
+    )
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

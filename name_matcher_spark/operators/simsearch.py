@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* ``cosine_topk``       — brute-force exact top-k: broadcast the query
+  set, JVM-side dot products via zip_with/aggregate (no Python, no
+  shuffle of the corpus). Baseline + ground truth.
+* ``lsh_cosine_topk``   — random-hyperplane LSH: L independent tables
+  of b-bit signatures; candidates = corpus rows sharing a signature
+  with the query in ANY table; exact re-rank of candidates only.
+  The scale path: the corpus-side join is an equi-join on (table,
+  signature) — no cross join anywhere.
+
+Dot products are computed in double (cast from float) so results are
+stable and oracle-comparable after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tiebreak on corpus id.
+
+    queries is expected to be small (it is broadcast); the corpus is
+    streamed through the broadcast-nested-loop in one pass with no
+    corpus shuffle until the final per-query top-k (a tiny aggregate).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id")).select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, sig) — sign patterns against seeded pseudo-random
+    hyperplanes. Planes are deterministic (LCG from seed) and built
+    driver-side as literal arrays; signature computation is JVM-only.
+    """
+    state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFFFFFFFFFF
+        return (state >> 16) / float(1 << 48) - 0.5
+
+    sig_cols = []
+    for t in range(tables):
+        bit_exprs = []
+        for b in range(bits):
+            plane = [nxt() for _ in range(dim)]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit_exprs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        sig_cols.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bit_exprs).alias("sig"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*sig_cols)).alias("s")
+    ).select(id_col, F.col("s.table").alias("table"), F.col("s.sig").alias("sig"))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: signature equi-join for candidates, exact
+    cosine re-rank of candidates only."""
+    csig = hyperplane_signatures(corpus, id_col, vec_col, dim, bits, tables, seed)
+    qsig = hyperplane_signatures(queries, id_col, vec_col, dim, bits, tables, seed)
+    cand = (
+        csig.select(F.col(id_col).alias("corpus_id"), "table", "sig")
+        .join(
+            qsig.select(F.col(id_col).alias("query_id"), "table", "sig"),
+            ["table", "sig"],
+        )
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
