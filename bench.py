@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing excludes SparkSession startup (cluster amortized cost) but
+includes full query execution to a materialized count. A warmup query
+primes the JVM/Arrow paths so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from name_matcher_spark import harness  # noqa: E402
+from name_matcher_spark.operators.clustering import cluster_pairs  # noqa: E402
+from name_matcher_spark.operators.fuzzy_join import match_fuzzy  # noqa: E402
+from name_matcher_spark.operators.prepare import prepare_persons  # noqa: E402
+from name_matcher_spark.session import get_spark  # noqa: E402
+
+
+def linkage_e2e(spark, sf_dir: str):
+    """Flagship: derive persons -> prepare -> blocked fuzzy match ->
+    transitive clustering. Returns the cluster assignment DataFrame.
+    Prepared columns are cached — candidates and payload share them."""
+    pa = prepare_persons(harness.persons_a(spark, sf_dir), include_middle=False).persist()
+    pb = prepare_persons(harness.persons_b(spark, sf_dir), include_middle=False).persist()
+    pairs = match_fuzzy(pa, pb, include_middle=False)
+    return cluster_pairs(pairs, threshold=0.95)
+
+
+BENCH_QUERIES = {
+    "linkage_e2e": linkage_e2e,
+    "lk_algo1_pairs": harness.lk_algo1_pairs,
+    "lk_fuzzy_pairs": harness.lk_fuzzy_pairs,
+    "lk_household_pct": harness.lk_household_pct,
+    "q_pricing_summary": harness.q_pricing_summary,
+    "q_events_sessions": harness.q_events_sessions,
+    "dd_minhash_bands": harness.dd_minhash_bands,
+    # Bench variant: long shingles + doc-frequency cap (the scale path;
+    # the exact-all-pairs variant stays in the oracle registry).
+    "dd_ngram_jaccard": lambda spark, sf_dir: __import__(
+        "name_matcher_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
+    ).ngram_jaccard_pairs(
+        harness._docs(spark, sf_dir), k=12, threshold=0.5, max_doc_freq=250
+    ),
+    "txt_quality": harness.txt_quality,
+    "sim_cosine_topk": harness.sim_cosine_topk,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        app_name="nms-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    # Warmup: JVM JIT + Arrow + Python worker pool.
+    harness.persons_a(spark, sf_dir).count()
+    harness._docs(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    n_rows: dict[str, int] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        n_rows[name] = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # Throughput: pages (person records, the engine's input unit)
+    # through the full blocking->scoring->clustering path per second.
+    n_input = harness.persons_a(spark, sf_dir).count() + harness.persons_b(
+        spark, sf_dir
+    ).count()
+    pages_per_sec = round(n_input / times["linkage_e2e"], 1)
+
+    out = {
+        "metric": "total_bench_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "rows": n_rows,
+        "linkage_pages_per_sec": pages_per_sec,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import jaro_winkler_pct_udf, lev_pct_col
+from .similarity import jw_pct_expr, lev_pct_col
 
 DIRECT = "DIRECT MATCH"
 CASE1 = "CASE 1"
@@ -60,7 +60,7 @@ def score_candidate_pairs(
     full1, full2 = F.col(f"{lp}full"), F.col(f"{rp}full")
 
     lev = lev_pct_col(full1, full2)
-    jw = jaro_winkler_pct_udf(full1, full2)
+    jw = jw_pct_expr(full1, full2)
     mp = metaphone_pct_col(F.col(f"{lp}dmeta"), F.col(f"{rp}dmeta"))
 
     scored = (

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.similarity import jaro_winkler_pct_udf, lev_pct_col
+from .functions.similarity import jw_pct_expr, lev_pct_col
 from .operators.clustering import cluster_pairs
 from .operators.dedup import (
     exact_duplicates,
@@ -128,7 +128,14 @@ def _pool_at(pool: list[str], idx_col) -> F.Column:
 
 
 def persons_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # Ingest fan-out: single small parquet files scan as ONE partition,
+    # which would serialize every downstream UDF projection. One cheap
+    # shuffle here parallelizes the whole prepare stage. (At real crawl
+    # scale the source has thousands of splits and this is a no-op
+    # cost-wise relative to the pipeline.)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("c_custkey").cast("long")
     return c.select(
         k.alias("id"),
@@ -146,7 +153,9 @@ def persons_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ok = F.col("o_orderkey").cast("long")
     ck = F.col("o_custkey").cast("long")
     base_first = _pool_at(FIRST_POOL, ((ck * 7) % N_FIRST).cast("int"))
@@ -178,7 +187,11 @@ def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Same ingest fan-out rationale as persons_a: shingling explodes
+    # each doc 100-200x, so scan partitioning must not serialize it.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -439,7 +452,7 @@ def lk_lev_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_1",
         "id_2",
         F.round(lev_pct_col(F.col("fa"), F.col("fb")), 2).alias("lev_pct"),
-        F.round(jaro_winkler_pct_udf(F.col("fa"), F.col("fb")), 2).alias("jw_pct"),
+        F.round(jw_pct_expr(F.col("fa"), F.col("fb")), 2).alias("jw_pct"),
     )
     return scored.filter((F.col("lev_pct") >= 85.0) & (F.col("jw_pct") >= 85.0))
 

@@ -128,15 +128,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard over candidate pairs (or all pairs when
     candidates is None — test scale only; at production scale ALWAYS
-    feed LSH candidates).
+    feed LSH candidates and/or set max_doc_freq).
+
+    ``max_doc_freq`` drops grams appearing in more than that many
+    documents BEFORE the join (the classic stopword-shingle cut): such
+    grams carry no discriminative signal but create the quadratic
+    blowup. Jaccard is then over the filtered gram universe — a
+    deterministic, documented approximation.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     intersection via gram equi-join; union = |A| + |B| - inter.
     """
-    sh = shingles(docs, id_col, text_col, k).cache()
+    sh = shingles(docs, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("gram")
+            .count()
+            .filter(F.col("count") <= max_doc_freq)
+            .select("gram")
+        )
+        sh = sh.join(rare, "gram", "leftsemi")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "gram")

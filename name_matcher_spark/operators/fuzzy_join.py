@@ -16,11 +16,22 @@ Two blocking strategies, both from the reference:
         alphabetic first name
      3. (year, first_initial, last_initial, soundex with digits 3-4
         zeroed) — build rows with a short/coarse soundex
-  In Spark the cascade is a union of three prioritized join branches,
-  each restricted (left_anti on probe ids) to probes the earlier
-  branches produced NO candidates for. Candidate-emptiness is judged
-  BEFORE the birthdate filter, exactly like the reference (the cascade
-  checks `set.is_empty()` before `compare_persons` runs).
+  Candidate-emptiness is judged BEFORE the birthdate filter, exactly
+  like the reference (the cascade checks `set.is_empty()` before
+  `compare_persons` runs).
+
+Plan shape (the part that matters at 100 TB):
+* Candidate generation runs on SKINNY key tables (id + 6 key columns),
+  persisted so the normalization/soundex UDF projection is computed
+  once, not once per cascade branch. The cascade shuffles only those
+  narrow rows.
+* The fallback branches come from a LEFT OUTER chain — probes that
+  matched branch N flow out as matched pairs, probes with no match
+  flow into branch N+1 — so each branch is one join, with no
+  anti-join recomputation of earlier branches.
+* Wide payload columns (full name, metaphone code, original fields)
+  are joined back by id once, AFTER candidate dedup, so the expensive
+  strings cross the shuffle exactly once.
 
 Skew: hot blocks (common birthdate + initials) are the scale risk.
 AQE skew-join splitting handles the shuffle; `max_block_rows` further
@@ -33,114 +44,85 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.fuzzy import score_candidate_pairs
 from .prepare import soundex4_udf
 
-_SIDE_COLS = [
+_PAYLOAD_COLS = [
     "id", "uuid", "first_name", "middle_name", "last_name", "birthdate",
-    "hh_id", "simple_first", "simple_middle", "simple_last", "full",
-    "dmeta", "birth_year", "first_initial", "last_initial", "sx_last",
-    "block_key",
+    "hh_id", "simple_first", "simple_middle", "simple_last", "full", "dmeta",
+]
+_KEY_COLS = [
+    "id", "first_name", "birth_year", "first_initial", "last_initial",
+    "sx_last", "block_key",
 ]
 
 
-def _side(df: DataFrame, prefix: str) -> DataFrame:
-    cols = [c for c in _SIDE_COLS if c in df.columns]
-    return df.select(*[F.col(c).alias(f"{prefix}{c}") for c in cols])
-
-
-def _pair_output(scored: DataFrame) -> DataFrame:
-    return scored.select(
-        F.col("l_id").alias("id_1"),
-        F.col("l_uuid").alias("uuid_1"),
-        F.col("l_first_name").alias("first_name_1"),
-        F.col("l_middle_name").alias("middle_name_1"),
-        F.col("l_last_name").alias("last_name_1"),
-        F.col("l_birthdate").alias("birthdate"),
-        F.col("r_id").alias("id_2"),
-        F.col("r_uuid").alias("uuid_2"),
-        *([F.col("r_hh_id").alias("hh_id_2")] if "r_hh_id" in scored.columns else []),
-        F.col("r_first_name").alias("first_name_2"),
-        F.col("r_middle_name").alias("middle_name_2"),
-        F.col("r_last_name").alias("last_name_2"),
-        F.col("score"),
-        F.col("confidence"),
-        F.col("match_case"),
-    )
+def _prefixed(df: DataFrame, prefix: str, cols: list[str]) -> DataFrame:
+    avail = [c for c in cols if c in df.columns]
+    return df.select(*[F.col(c).alias(f"{prefix}{c}") for c in avail])
 
 
 def candidates_birthdate(p1: DataFrame, p2: DataFrame) -> DataFrame:
-    """Equi-join on exact birthdate (null birthdates drop out)."""
-    left = _side(p1, "l_").withColumnRenamed("l_birthdate", "k_bd")
-    right = _side(p2, "r_").withColumnRenamed("r_birthdate", "k_bd")
-    joined = left.join(right, on="k_bd", how="inner")
-    return (
-        joined.withColumn("l_birthdate", F.col("k_bd"))
-        .withColumn("r_birthdate", F.col("k_bd"))
-        .drop("k_bd")
-    )
+    """(l_id, r_id) pairs sharing an exact birthdate (null drops out)."""
+    left = p1.select(F.col("id").alias("l_id"), F.col("birthdate").alias("bd"))
+    right = p2.select(F.col("id").alias("r_id"), F.col("birthdate").alias("bd"))
+    return left.join(right, "bd").select("l_id", "r_id")
 
 
 def candidates_bkey_cascade(
     p1: DataFrame, p2: DataFrame, max_block_rows: int | None = None
 ) -> DataFrame:
-    """Union of the three prioritized block-join branches.
-
-    Each branch only sees probe rows for which every higher-priority
-    branch produced zero candidates (left_anti on l_id), mirroring the
-    sequential `if set.is_empty()` cascade of mod.rs:1086-1095.
-    """
-    left = _side(p1, "l_")
-    right = _side(p2, "r_")
+    """(l_id, r_id) candidate pairs from the three prioritized block
+    branches, computed over narrow key tables."""
+    # Persist the narrow tables BEFORE anything consumes them: every
+    # downstream use (hot-key count, three join branches, broadcasts)
+    # must read the cache, not re-run the normalization UDF chain — at
+    # high parallelism those recomputations run as concurrent Python
+    # stages and oversubscribe the executor cores.
+    left = _prefixed(p1, "l_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
+    right = _prefixed(p2, "r_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
     if max_block_rows:
         left, right = _refine_hot_blocks(left, right, max_block_rows)
+        left = left.persist(StorageLevel.MEMORY_AND_DISK)
+        right = right.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Branch 1: exact BKey.
-    b1 = left.join(
-        right,
-        on=(F.col("l_block_key") == F.col("r_block_key")),
-        how="inner",
+    # Branch 1: exact BKey. Left-outer so unmatched probes feed branch 2.
+    j1 = left.join(
+        right, F.col("l_block_key") == F.col("r_block_key"), "left_outer"
     )
-
-    probes_hit1 = b1.select("l_id").distinct()
-    left2 = left.join(probes_hit1, on="l_id", how="left_anti")
+    b1 = j1.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
+    left2 = j1.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 2: probe key with first_initial '?' — matches build rows
     # whose first name has no alphabetic char.
-    b2 = left2.join(
-        right.filter(F.col("r_first_initial") == "?"),
-        on=(
-            (F.col("l_birth_year") == F.col("r_birth_year"))
-            & (F.col("l_last_initial") == F.col("r_last_initial"))
-            & (F.col("l_sx_last") == F.col("r_sx_last"))
-        ),
-        how="inner",
+    right_q = right.filter(F.col("r_first_initial") == "?")
+    j2 = left2.join(
+        right_q,
+        (F.col("l_birth_year") == F.col("r_birth_year"))
+        & (F.col("l_last_initial") == F.col("r_last_initial"))
+        & (F.col("l_sx_last") == F.col("r_sx_last")),
+        "left_outer",
     )
-
-    probes_hit2 = b2.select("l_id").distinct()
-    left3 = left2.join(probes_hit2, on="l_id", how="left_anti")
+    b2 = j2.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
+    left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 3: coarse soundex — probe's soundex with digits 3-4 zeroed
     # must equal the build row's FULL soundex.
     coarse = F.concat(F.substring(F.col("l_sx_last"), 1, 2), F.lit("00"))
-    b3 = left3.join(
-        right,
-        on=(
+    b3 = (
+        left3.join(
+            right,
             (F.col("l_birth_year") == F.col("r_birth_year"))
             & (F.col("l_first_initial") == F.col("r_first_initial"))
             & (F.col("l_last_initial") == F.col("r_last_initial"))
-            & (coarse == F.col("r_sx_last"))
-        ),
-        how="inner",
+            & (coarse == F.col("r_sx_last")),
+            "inner",
+        )
+        .select("l_id", "r_id")
     )
-
-    common = [c for c in b1.columns if c in b2.columns and c in b3.columns]
-    return (
-        b1.select(*common)
-        .unionByName(b2.select(*common))
-        .unionByName(b3.select(*common))
-    )
+    return b1.unionByName(b2).unionByName(b3)
 
 
 def _refine_hot_blocks(
@@ -149,10 +131,9 @@ def _refine_hot_blocks(
     """Extend block_key with soundex4(first) inside oversized blocks.
 
     Build-side blocks with more than ``max_block_rows`` rows get the
-    extra component on BOTH sides (deterministic; both sides agree on
-    which keys are hot because hotness is judged on the build side
-    only). Bounds the per-block pair count without dropping data; the
-    residual skew is AQE's job.
+    extra component on BOTH sides (hotness judged on the build side
+    only, so the two sides agree). Bounds the per-block pair count
+    without dropping data; residual skew is AQE's job.
     """
     hot = (
         right.groupBy("r_block_key")
@@ -187,6 +168,26 @@ def _refine_hot_blocks(
     return left, right
 
 
+def _pair_output(scored: DataFrame) -> DataFrame:
+    return scored.select(
+        F.col("l_id").alias("id_1"),
+        F.col("l_uuid").alias("uuid_1"),
+        F.col("l_first_name").alias("first_name_1"),
+        F.col("l_middle_name").alias("middle_name_1"),
+        F.col("l_last_name").alias("last_name_1"),
+        F.col("l_birthdate").alias("birthdate"),
+        F.col("r_id").alias("id_2"),
+        F.col("r_uuid").alias("uuid_2"),
+        *([F.col("r_hh_id").alias("hh_id_2")] if "r_hh_id" in scored.columns else []),
+        F.col("r_first_name").alias("first_name_2"),
+        F.col("r_middle_name").alias("middle_name_2"),
+        F.col("r_last_name").alias("last_name_2"),
+        F.col("score"),
+        F.col("confidence"),
+        F.col("match_case"),
+    )
+
+
 def match_fuzzy(
     p1: DataFrame,
     p2: DataFrame,
@@ -195,7 +196,7 @@ def match_fuzzy(
     max_block_rows: int | None = None,
 ) -> DataFrame:
     """Algorithm 3 (include_middle=True) / 4 (False): candidates ->
-    birthdate gate -> fuzzy ladder -> matched pairs with confidence.
+    payload join -> birthdate gate -> fuzzy ladder -> matched pairs.
 
     ``prepare_persons`` must have been called with the SAME
     include_middle (it decides the `full`/`dmeta` variant).
@@ -207,9 +208,13 @@ def match_fuzzy(
     else:
         raise ValueError(f"unknown blocking strategy: {blocking}")
 
+    lpay = _prefixed(p1, "l_", _PAYLOAD_COLS)
+    rpay = _prefixed(p2, "r_", _PAYLOAD_COLS)
+    pairs = cands.join(lpay, "l_id").join(rpay, "r_id")
+
     # Exact-birthdate gate (mod.rs:144-153): null disqualifies; applied
     # BEFORE scoring so the JW UDF only sees real candidates.
-    gated = cands.filter(
+    gated = pairs.filter(
         F.col("l_birthdate").isNotNull()
         & (F.col("l_birthdate") == F.col("r_birthdate"))
     )

@@ -1,0 +1,125 @@
+"""The full linkage pipeline: pages -> extract -> prepare -> block ->
+score -> households + clusters, every stage checkpointed with lineage
+(BASELINE.json north rule: any stage resumable; per-partition counts +
+score-distribution metrics in each manifest).
+
+Stage graph (each node a Parquet checkpoint + manifest):
+
+    extract_a  extract_b          <- pages tables (or person tables direct)
+       |          |
+    prepare_a  prepare_b          <- derived matching columns
+          \\     /
+          pairs_fuzzy             <- blocked candidates + ladder scoring
+           |      \\
+       households  clusters       <- Option-5 aggregate; transitive CC
+
+Killing the process between any two stages and re-running
+``run_linkage`` produces byte-identical final outputs while skipping
+every completed stage (tests/test_pipeline.py exercises exactly that).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.clustering import cluster_pairs
+from ..operators.extract import extract_entities
+from ..operators.fuzzy_join import match_fuzzy
+from ..operators.household import households_option5
+from ..operators.prepare import prepare_persons
+from ..sources.checkpoint import StageCheckpoint
+
+
+@dataclass
+class LinkageConfig:
+    include_middle: bool = False
+    blocking: str = "bkey_cascade"
+    max_block_rows: int | None = 10000
+    fuzzy_threshold: float = 0.95
+    household_threshold: float = 0.95
+    cluster_threshold: float = 0.95
+    stages: tuple = ("pairs_fuzzy", "households", "clusters")
+    extra: dict = field(default_factory=dict)
+
+
+def run_linkage(
+    spark: SparkSession,
+    work_dir: str,
+    persons_a: DataFrame | None = None,
+    persons_b: DataFrame | None = None,
+    pages_a: DataFrame | None = None,
+    pages_b: DataFrame | None = None,
+    config: LinkageConfig | None = None,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the pipeline. Inputs are either pages tables
+    (extraction runs first) or person tables directly."""
+    cfg = config or LinkageConfig()
+    ckpt = StageCheckpoint(spark, work_dir)
+    out: dict[str, DataFrame] = {}
+
+    if pages_a is not None:
+        persons_a = ckpt.run_stage(
+            "extract_a",
+            lambda: extract_entities(pages_a).withColumnRenamed("url", "uuid"),
+            inputs=["pages_a"],
+            force=force,
+        )
+    if pages_b is not None:
+        persons_b = ckpt.run_stage(
+            "extract_b",
+            lambda: extract_entities(pages_b).withColumnRenamed("url", "uuid"),
+            inputs=["pages_b"],
+            force=force,
+        )
+    if persons_a is None or persons_b is None:
+        raise ValueError("need persons_{a,b} or pages_{a,b}")
+
+    pa = ckpt.run_stage(
+        "prepare_a",
+        lambda: prepare_persons(persons_a, cfg.include_middle),
+        inputs=["extract_a"],
+        force=force,
+    )
+    pb = ckpt.run_stage(
+        "prepare_b",
+        lambda: prepare_persons(persons_b, cfg.include_middle),
+        inputs=["extract_b"],
+        force=force,
+    )
+    out["prepare_a"], out["prepare_b"] = pa, pb
+
+    pairs = ckpt.run_stage(
+        "pairs_fuzzy",
+        lambda: match_fuzzy(
+            pa,
+            pb,
+            include_middle=cfg.include_middle,
+            blocking=cfg.blocking,
+            max_block_rows=cfg.max_block_rows,
+        ),
+        score_col="confidence",
+        inputs=["prepare_a", "prepare_b"],
+        force=force,
+    )
+    out["pairs_fuzzy"] = pairs
+
+    if "households" in cfg.stages:
+        out["households"] = ckpt.run_stage(
+            "households",
+            lambda: households_option5(
+                pairs, persons_a, threshold=cfg.household_threshold
+            ),
+            inputs=["pairs_fuzzy"],
+            force=force,
+        )
+    if "clusters" in cfg.stages:
+        out["clusters"] = ckpt.run_stage(
+            "clusters",
+            lambda: cluster_pairs(pairs, threshold=cfg.cluster_threshold),
+            inputs=["pairs_fuzzy"],
+            force=force,
+        )
+    return out

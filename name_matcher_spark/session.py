@@ -75,8 +75,52 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.executorEnv.PYTHONPATH", pythonpath)
     )
+    jar = _ensure_udf_jar()
+    if jar:
+        builder = builder.config("spark.jars", jar)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if jar:
+        _register_jvm_udfs(spark)
     return spark
+
+
+def _ensure_udf_jar() -> str | None:
+    """Compile (if stale) and return the JVM scoring-kernel jar.
+
+    The Jaro-Winkler kernel runs as a Java UDF so the fuzzy ladder's
+    pair scoring is 100% JVM — benchmarking here showed the Arrow
+    JVM<->Python channel capping throughput regardless of cores, while
+    pure-JVM stages scale with the slot count. On a cluster, ship the
+    jar with --jars.
+    """
+    try:
+        import sys
+
+        tools = str(Path(_PKG_PARENT) / "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+        from build_java_udfs import build  # type: ignore[import-not-found]
+
+        jar = build()
+        return str(jar) if jar else None
+    except Exception:  # noqa: BLE001 - fall back to the pandas UDF path
+        return None
+
+
+def _register_jvm_udfs(spark: SparkSession) -> None:
+    from pyspark.sql.types import DoubleType
+
+    try:
+        spark.udf.registerJavaFunction(
+            "nms_jw_pct", "nms.NmsJaroWinkler", DoubleType()
+        )
+        from .functions import similarity
+
+        similarity.JVM_JW_ENABLED = True
+    except Exception:  # noqa: BLE001
+        from .functions import similarity
+
+        similarity.JVM_JW_ENABLED = False

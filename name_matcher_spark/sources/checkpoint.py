@@ -1,0 +1,117 @@
+"""Stage-level checkpointing with per-partition lineage manifests.
+
+The reference checkpoints (partition_idx, offset) into an atomic
+key/value file so a killed run resumes mid-scan (src/util/
+checkpoint.rs:66-86, mod.rs:3490-3504). The Spark-native equivalent is
+coarser and stronger: each pipeline STAGE materializes to a Parquet
+directory plus a JSON manifest recording row counts, schema, per-
+partition row counts, and stage-specific metrics (e.g. the score
+histogram required by the north rule). Resume = skip any stage whose
+manifest validates; a torn write can't be mistaken for a finished
+stage because the manifest is written only after the Parquet commit,
+via atomic tmp+rename (same trick as checkpoint.rs:74-82).
+
+On a real deployment the Parquet directory would be an Iceberg table
+and the manifest its snapshot metadata; the layout here keeps the same
+contract with plain files so it runs anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageCheckpoint:
+    def __init__(self, spark: SparkSession, work_dir: str) -> None:
+        self.spark = spark
+        self.work_dir = Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> Path:
+        return self.work_dir / stage
+
+    def _manifest_path(self, stage: str) -> Path:
+        return self.work_dir / f"{stage}.manifest.json"
+
+    def is_complete(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not mp.exists():
+            return False
+        try:
+            manifest = json.loads(mp.read_text())
+        except json.JSONDecodeError:
+            return False
+        return (self._stage_dir(stage) / "_SUCCESS").exists() and (
+            "row_count" in manifest
+        )
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._stage_dir(stage)))
+
+    def manifest(self, stage: str) -> dict:
+        return json.loads(self._manifest_path(stage).read_text())
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        score_col: str | None = None,
+        inputs: list[str] | None = None,
+    ) -> DataFrame:
+        """Materialize a stage and its lineage manifest; returns the
+        re-read DataFrame (so downstream consumes the checkpoint, not
+        the original lineage)."""
+        out = self._stage_dir(stage)
+        df.write.mode("overwrite").parquet(str(out))
+        persisted = self.spark.read.parquet(str(out))
+
+        per_partition = [
+            {"partition": r["p"], "rows": r["rows"]}
+            for r in persisted.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        manifest: dict = {
+            "stage": stage,
+            "row_count": persisted.count(),
+            "schema": persisted.schema.simpleString(),
+            "partitions": sorted(per_partition, key=lambda x: x["partition"]),
+            "inputs": inputs or [],
+        }
+        if score_col and score_col in persisted.columns:
+            hist = (
+                persisted.select(
+                    F.floor(F.col(score_col) * 10).cast("int").alias("bucket")
+                )
+                .groupBy("bucket")
+                .count()
+                .orderBy("bucket")
+                .collect()
+            )
+            manifest["score_histogram"] = {
+                str(r["bucket"] / 10.0): r["count"] for r in hist
+            }
+
+        tmp = self._manifest_path(stage).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._manifest_path(stage))
+        return persisted
+
+    def run_stage(
+        self,
+        stage: str,
+        build,
+        score_col: str | None = None,
+        inputs: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Resume contract: return the checkpoint if valid, else build
+        (a zero-arg callable returning a DataFrame), write, return."""
+        if not force and self.is_complete(stage):
+            return self.read(stage)
+        return self.write(stage, build(), score_col=score_col, inputs=inputs)

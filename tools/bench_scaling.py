@@ -1,0 +1,288 @@
+"""Scaling-efficiency evidence (BASELINE.json: throughput efficiency
+>= 0.8 from N to 4N executors, proxied in this sandbox as local[8] vs
+local[32] on IDENTICAL input per the driver's instructions).
+
+Runs the full linkage pipeline (prepare -> blocked fuzzy match ->
+transitive clustering) over a seeded 100k x 100k dirty person corpus
+(FIXTURES.md §6 bench scale point) at both parallelism levels in
+separate processes, then reports throughput at each and the
+efficiency ratio. Results go to BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [size] [--runs N]
+Child mode (internal): python tools/bench_scaling.py --child CPUS DIR SIZE
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+CACHE = REPO / ".bench_cache"
+
+
+def ensure_fixture(size: int) -> Path:
+    out = CACHE / f"dirty_{size}"
+    if (out / "a.parquet").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    from name_matcher_spark.fixtures.persons import make_dirty
+
+    a, b, pairs = make_dirty(size)
+    a.to_parquet(out / "a.parquet", index=False)
+    b.to_parquet(out / "b.parquet", index=False)
+    pairs.to_parquet(out / "pairs.parquet", index=False)
+    return out
+
+
+def child(cpus: int, data_dir: str, size: int) -> None:
+    from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+    from name_matcher_spark.operators.prepare import prepare_persons
+    from name_matcher_spark.session import get_spark
+
+    # Cluster-size simulation: the PLAN (partition counts) is held
+    # IDENTICAL across parallelism levels — exactly like running the
+    # same job on N vs 4N executors — only the number of concurrent
+    # task slots differs.
+    partitions = 64
+    spark = get_spark(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=partitions,
+    )
+    # Ingest fan-out (single-file source -> one scan partition would
+    # serialize the UDF projection; see harness.persons_a note).
+    a = spark.read.parquet(f"{data_dir}/a.parquet").repartition(partitions)
+    b = spark.read.parquet(f"{data_dir}/b.parquet").repartition(partitions)
+    # Warmup: materialize inputs AND cold-start the Python worker pool
+    # across every task slot (each worker pays interpreter + pandas
+    # import on first use — ~0.5s each, and N of them start at once on
+    # the first UDF stage). A long-lived cluster amortizes this; the
+    # timed region should reflect steady state.
+    a.count(), b.count()
+    from name_matcher_spark.functions.similarity import jaro_winkler_pct_udf
+    import pyspark.sql.functions as F
+    warm = spark.range(0, cpus * 8, 1, cpus * 8).select(
+        F.concat(F.lit("warm"), F.col("id").cast("string")).alias("s")
+    )
+    warm.select(jaro_winkler_pct_udf("s", "s").alias("x")).agg(F.sum("x")).collect()
+
+    # The sandbox host has visible steal time (noisy neighbors); a
+    # single run is not a measurement. Three repeats in one session
+    # (steady-state: workers warm, code JIT'd), min taken as the
+    # least-noise estimate.
+    walls = []
+    n_clustered = 0
+    for _ in range(3):
+        t0 = time.time()
+        pa = prepare_persons(a, include_middle=False).persist()
+        pb = prepare_persons(b, include_middle=False).persist()
+        pairs = match_fuzzy(pa, pb, include_middle=False, max_block_rows=2000)
+        clusters = cluster_pairs(pairs, threshold=0.95)
+        n_clustered = clusters.count()
+        walls.append(round(time.time() - t0, 2))
+        pa.unpersist(), pb.unpersist()
+        spark.catalog.clearCache()
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": wall,
+                "walls": walls,
+                "rows_in": 2 * size,
+                "pages_per_sec": round(2 * size / wall, 1),
+                "n_clustered": n_clustered,
+            }
+        )
+    )
+
+
+def run_child(cpus: int, data_dir: Path, size: int) -> dict:
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, __file__, "--child", str(cpus), str(data_dir), str(size)],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=False,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"child failed: {proc.stdout[-500:]}\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--kernel-child":
+        kernel_child(int(sys.argv[2]), sys.argv[3])
+        return
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    data_dir = ensure_fixture(size)
+    print(f"fixture ready: {data_dir} ({size} rows/side)")
+
+    cand_dir = ensure_candidates(size)
+    print(f"candidates ready: {cand_dir}")
+
+    results = {}
+    for cpus in (8, 32):
+        results[cpus] = run_child(cpus, data_dir, size)
+        print(cpus, "->", results[cpus])
+
+    kresults = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--kernel-child", str(cpus), str(cand_dir)],
+            capture_output=True, text=True, check=False, timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                kresults[cpus] = json.loads(line)
+        print("kernel", cpus, "->", kresults.get(cpus))
+
+    host = host_calibration()
+    print("host calibration:", host)
+
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    k8, k32 = kresults[8]["wall_sec"], kresults[32]["wall_sec"]
+    speedup = t8 / t32
+    kspeed = k8 / k32
+    efficiency = speedup / 4.0
+    summary = {
+        "input": f"dirty {size}x{size} persons (seeded, FIXTURES.md §6)",
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "kernel_local8": kresults[8],
+        "kernel_local32": kresults[32],
+        "kernel_speedup_8_to_32": round(kspeed, 3),
+        "kernel_scaling_efficiency": round(kspeed / 4.0, 3),
+        "host_calibration_mp_speedup_8_to_32": host["speedup"],
+        "kernel_efficiency_vs_host_ceiling": round(kspeed / host["speedup"], 3),
+    }
+    print(json.dumps(summary, indent=2))
+    out = REPO / "BENCH"
+    out.mkdir(exist_ok=True)
+    (out / "scaling_latest.json").write_text(json.dumps(summary, indent=2))
+
+
+
+
+# ---------------------------------------------------------------------------
+# Kernel-level scaling: the scoring stage alone on pre-materialized
+# candidate pairs (the engine's core compute — the analogue of the
+# reference's own matching-throughput benchmark).
+# ---------------------------------------------------------------------------
+
+
+def ensure_candidates(size: int) -> Path:
+    out = CACHE / f"cands_{size}"
+    if (out / "_SUCCESS").exists():
+        return out
+    from name_matcher_spark.operators.fuzzy_join import (
+        _PAYLOAD_COLS,
+        _prefixed,
+        candidates_bkey_cascade,
+    )
+    from name_matcher_spark.operators.prepare import prepare_persons
+    from name_matcher_spark.session import get_spark
+
+    data_dir = ensure_fixture(size)
+    spark = get_spark(app_name="cand-gen", master="local[32]", shuffle_partitions=64)
+    a = spark.read.parquet(f"{data_dir}/a.parquet").repartition(64)
+    b = spark.read.parquet(f"{data_dir}/b.parquet").repartition(64)
+    pa = prepare_persons(a, include_middle=False).persist()
+    pb = prepare_persons(b, include_middle=False).persist()
+    cands = candidates_bkey_cascade(pa, pb, 2000)
+    from pyspark.sql import functions as F
+
+    pairs = (
+        cands.join(_prefixed(pa, "l_", _PAYLOAD_COLS), "l_id")
+        .join(_prefixed(pb, "r_", _PAYLOAD_COLS), "r_id")
+        .filter(
+            F.col("l_birthdate").isNotNull()
+            & (F.col("l_birthdate") == F.col("r_birthdate"))
+        )
+    )
+    pairs.write.mode("overwrite").parquet(str(out))
+    spark.stop()
+    return out
+
+
+def kernel_child(cpus: int, cand_dir: str) -> None:
+    import pyspark.sql.functions as F
+
+    from name_matcher_spark.functions.fuzzy import score_candidate_pairs
+    from name_matcher_spark.session import get_spark
+
+    partitions = 128
+    spark = get_spark(
+        app_name=f"kernel-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=partitions,
+    )
+    pairs = spark.read.parquet(cand_dir).repartition(partitions).persist()
+    n_in = pairs.count()
+    walls = []
+    n_out = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_out = (
+            score_candidate_pairs(pairs, include_middle=False)
+            .agg(F.sum("score"))
+            .collect()
+        )
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": wall,
+                "walls": walls,
+                "pairs_in": n_in,
+                "pairs_per_sec": round(n_in / wall, 1),
+            }
+        )
+    )
+
+
+def host_calibration() -> dict:
+    """The box's own scaling ceiling: identical CPU-bound work in plain
+    multiprocessing at 8 vs 32 workers (no Spark anywhere)."""
+    import multiprocessing as mp
+
+    def burn(_seed: int) -> int:
+        t0 = time.time()
+        n = 0
+        x = 1.0
+        while time.time() - t0 < 3.0:
+            x = (x * 1.000001 + 1.0) % 97.0
+            n += 1
+        return n
+
+    out = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            r = pool.map(burn, range(procs))
+            el = time.time() - t0
+        out[procs] = round(sum(r) / el / 1e6, 2)
+    out["speedup"] = round(out[32] / out[8], 3)
+    return out
+
+
+if __name__ == "__main__":
+    main()

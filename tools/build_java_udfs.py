@@ -1,0 +1,74 @@
+"""Compile the JVM-side scoring kernels into nms-udfs.jar.
+
+Run once (or let session.get_spark trigger it lazily): javac against
+the installed Spark jars, then jar-up. Output lands in
+name_matcher_spark/javaudf/nms-udfs.jar and is picked up by
+get_spark via spark.jars.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "name_matcher_spark" / "javaudf"
+JAR = PKG / "nms-udfs.jar"
+
+
+def spark_jars_classpath() -> str:
+    import pyspark
+
+    candidates = [
+        os.environ.get("SPARK_HOME", ""),
+        os.path.dirname(pyspark.__file__),
+    ]
+    for base in candidates:
+        if base and glob.glob(os.path.join(base, "jars", "spark-sql*.jar")):
+            return os.path.join(base, "jars", "*")
+    raise RuntimeError("cannot locate Spark jars for javac classpath")
+
+
+def build(force: bool = False) -> Path | None:
+    sources = sorted(PKG.glob("*.java"))
+    if not sources:
+        return None
+    if JAR.exists() and not force:
+        newest_src = max(s.stat().st_mtime for s in sources)
+        if JAR.stat().st_mtime >= newest_src:
+            return JAR
+    javac = shutil.which("javac")
+    jar_tool = shutil.which("jar")
+    if not javac:
+        return None
+    with tempfile.TemporaryDirectory() as tmp:
+        subprocess.run(
+            [javac, "-cp", spark_jars_classpath(), "-d", tmp]
+            + [str(s) for s in sources],
+            check=True,
+            capture_output=True,
+        )
+        if jar_tool:
+            subprocess.run(
+                [jar_tool, "cf", str(JAR), "-C", tmp, "."],
+                check=True,
+                capture_output=True,
+            )
+        else:  # zip fallback — a jar IS a zip
+            import zipfile
+
+            with zipfile.ZipFile(JAR, "w") as zf:
+                for root, _, files in os.walk(tmp):
+                    for f in files:
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, tmp))
+    return JAR
+
+
+if __name__ == "__main__":
+    out = build(force="--force" in sys.argv)
+    print(out or "no sources / no javac")
