@@ -111,16 +111,37 @@ def _ensure_udf_jar() -> str | None:
 
 
 def _register_jvm_udfs(spark: SparkSession) -> None:
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .functions import fuzzy, similarity
 
     try:
         spark.udf.registerJavaFunction(
             "nms_jw_pct", "nms.NmsJaroWinkler", DoubleType()
         )
-        from .functions import similarity
-
         similarity.JVM_JW_ENABLED = True
     except Exception:  # noqa: BLE001
-        from .functions import similarity
-
         similarity.JVM_JW_ENABLED = False
+    try:
+        spark.udf.registerJavaFunction(
+            "nms_fuzzy_score",
+            "nms.NmsFuzzyScore",
+            StructType(
+                [
+                    StructField("score", DoubleType()),
+                    StructField("label", StringType()),
+                ]
+            ),
+        )
+        # Registered but OFF by default: A/B benchmarking showed the
+        # codegen'd expression ladder + single Java JW call beats the
+        # 11-arg fused UDF (UTF8String->String conversion + Row boxing
+        # costs ~50% more per pair). Kept as an env toggle for repro.
+        fuzzy.JVM_FUSED_ENABLED = os.environ.get("NMS_FUSED", "0") == "1"
+    except Exception:  # noqa: BLE001
+        fuzzy.JVM_FUSED_ENABLED = False

@@ -1,0 +1,79 @@
+"""Dedup operator semantics on hand-built documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matcher_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_dupes,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+    (3, "the quick brown fox jumps over the lazy cat"),   # near-dup
+    (4, "completely different text about spark engines"),
+    (5, "zzz"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {(r.doc_id, r.canonical_id, r.group_size) for r in exact_duplicates(docs).collect()}
+    # 1 and 2 normalize identically; nothing else groups.
+    assert got == {(1, 1, 2), (2, 1, 2)}
+
+
+def test_shingles_distinct(spark):
+    d = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got = [r.gram for r in shingles(d, k=3).collect()]
+    assert got == ["aaa"]  # distinct
+
+
+def test_minhash_identical_docs_always_candidates(docs):
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, k=5).collect()}
+    assert (1, 2) in cands
+    # the unrelated doc never pairs with the fox docs
+    assert not any({a, b} & {4} and {a, b} & {1, 2, 3} for a, b in cands)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    d = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcde")], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(d, k=3, threshold=0.0).collect()
+    # grams(1) = {abc, bcd}; grams(2) = {abc, bcd, cde}; J = 2/3
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(2 / 3)
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    # 'the ' grams shared by everything get cut at max_doc_freq=1 ->
+    # no intersection survives between 1 and 3 except rare grams.
+    d = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    uncapped = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(d, k=3, threshold=0.5).collect()}
+    assert (1, 2) in uncapped and (1, 3) in uncapped
+
+
+def test_simhash_identical_and_near(docs):
+    fps = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert fps[1] == fps[2]
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dupes(docs, max_hamming=10).collect()}
+    assert near[(1, 2)] == 0
+    if (1, 3) in near:
+        assert near[(1, 3)] > 0
+
+
+def test_simhash_plan_is_jvm_only(docs):
+    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,92 @@
+"""Text-analysis and similarity-search operator semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matcher_spark.operators.multimodal import (
+    decode_image_batch,
+    extract_media_features,
+)
+from name_matcher_spark.operators.simsearch import cosine_topk, lsh_cosine_topk
+from name_matcher_spark.operators.text import (
+    lang_id,
+    quality_metrics,
+    token_count,
+)
+
+
+def test_lang_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market with a ball"),
+            (2, "el perro y el gato es una historia que es muy buena"),
+            (3, "der hund und die katze ist nicht ein problem"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.detected_lang for r in lang_id(d).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_metrics(spark):
+    d = spark.createDataFrame([(1, "Hello, world! The end.")], "doc_id long, text string")
+    r = quality_metrics(d).collect()[0]
+    assert r.n_chars == 22
+    assert r.n_tokens == 4
+    assert r.punct_ratio > 0
+    assert r.upper_ratio == pytest.approx(round(2 / 22, 4))
+    assert r.stopword_ratio == pytest.approx(0.25)  # "the" / 4 tokens
+
+
+def test_token_count_edges(spark):
+    d = spark.createDataFrame([("",), ("  ",), ("a b  c",)], "t string")
+    got = [r[0] for r in d.select(token_count(F.col("t"))).collect()]
+    assert got == [0, 0, 3]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1)
+    got = [(r.corpus_id, r.rank) for r in cosine_topk(df, q, k=3).orderBy("rank").collect()]
+    assert got == [(2, 1), (4, 2), (3, 3)]
+
+
+def test_lsh_recall_on_near_duplicates(spark):
+    import random
+
+    random.seed(5)
+    base = [random.uniform(-1, 1) for _ in range(64)]
+    near = [x + random.uniform(-0.01, 0.01) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(3, 120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1)
+    got = lsh_cosine_topk(df, q, dim=64, k=3).collect()
+    assert any(r.corpus_id == 2 and r.rank == 1 for r in got)
+
+
+def test_multimodal_stub(spark):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), fake=False)
+
+    d = spark.createDataFrame(
+        [(1, b"hello", "image/png"), (2, None, "image/png")],
+        "media_id long, content binary, mime string",
+    )
+    rows = {r.media_id: r for r in extract_media_features(d, fake=True).collect()}
+    assert rows[1].n_bytes == 5
+    assert len(rows[1].feature) == 8
+    assert rows[2].n_bytes == 0
+    assert rows[1].digest != rows[2].digest
