@@ -875,3 +875,147 @@ ORACLES: dict[str, str] = {
     # dd_simhash (xxhash64), sim_lsh_topk (seeded hyperplanes),
     # mm_media_features (mapInPandas stub).
 }
+
+
+# ---------------------------------------------------------------------------
+# D. Overlap stats / partition strategies / date ladder (SURVEY §2.6-2.9)
+# ---------------------------------------------------------------------------
+
+
+def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 vs A2 pair-set overlap (main.rs:599-605)."""
+    from .sources.export import algo_overlap_stats
+
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    a1 = match_algo1(pa, pb)
+    a2 = match_algo2(pa, pb)
+    return algo_overlap_stats(a1, a2)
+
+
+LK_OVERLAP_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+a1 AS (
+  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+),
+a2 AS (
+  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+   AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
+)
+SELECT 'both' AS bucket, count(*) AS n_pairs FROM (SELECT * FROM a1 INTERSECT SELECT * FROM a2)
+UNION ALL
+SELECT 'only_first', count(*) FROM (SELECT * FROM a1 EXCEPT SELECT * FROM a2)
+UNION ALL
+SELECT 'only_second', count(*) FROM (SELECT * FROM a2 EXCEPT SELECT * FROM a1)
+"""
+
+
+def lk_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-size histogram for both partition strategies
+    (partition.rs:18-65) — the skew-visibility companion to
+    lk_blocking_keys."""
+    from .operators.partition_strategies import birthyear5_key, last_initial_key
+
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    li = pa.groupBy(
+        F.lit("last_initial").alias("strategy"),
+        last_initial_key(F.col("norm_last")).alias("part_key"),
+    ).agg(F.count("*").alias("rows"))
+    by = pa.groupBy(
+        F.lit("birthyear5").alias("strategy"),
+        birthyear5_key(F.col("birthdate")).alias("part_key"),
+    ).agg(F.count("*").alias("rows"))
+    return li.unionByName(by)
+
+
+LK_PARTITION_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL})
+SELECT 'last_initial' AS strategy,
+  CASE WHEN upper(substr(trim(last_name), 1, 1)) BETWEEN 'A' AND 'Z'
+       THEN upper(substr(trim(last_name), 1, 1)) ELSE 'other' END AS part_key,
+  count(*) AS rows
+FROM pa GROUP BY 2
+UNION ALL
+SELECT 'birthyear5',
+  CASE WHEN birthdate IS NULL THEN 'unknown'
+       ELSE CAST(CAST(floor(year(birthdate) / 5) * 5 AS INT) AS VARCHAR) || '_'
+            || CAST(CAST(floor(year(birthdate) / 5) * 5 + 4 AS INT) AS VARCHAR)
+  END,
+  count(*)
+FROM pa GROUP BY 2
+"""
+
+
+def lk_date_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algo-7 birthdate ladder (deprecated in the reference; scalar
+    function shipped for completeness, mod.rs:1118-1136) over
+    consecutive-id person pairs."""
+    from .functions.dates import birthdate_similarity_pct
+
+    pa = persons_a(spark, sf_dir).select("id", "birthdate")
+    left = pa.select(F.col("id").alias("id_1"), F.col("birthdate").alias("bd_1"))
+    right = pa.select((F.col("id") - 1).alias("id_1"), F.col("birthdate").alias("bd_2"))
+    pairs = left.join(right, "id_1")
+    return pairs.select(
+        "id_1",
+        birthdate_similarity_pct(F.col("bd_1"), F.col("bd_2")).alias("bd_pct"),
+    )
+
+
+LK_DATE_SIM_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, a.birthdate AS bd_1, b.birthdate AS bd_2
+  FROM pa a JOIN pa b ON b.id = a.id + 1
+)
+SELECT id_1,
+  CAST(CASE
+    WHEN bd_1 = bd_2 THEN 100.0
+    WHEN abs(datediff('day', bd_2, bd_1)) = 1 THEN 90.0
+    WHEN year(bd_1) = year(bd_2) AND (
+         TRY_CAST(year(bd_1) || '-' || day(bd_1) || '-' || month(bd_1) AS DATE) = bd_2
+      OR TRY_CAST(year(bd_2) || '-' || day(bd_2) || '-' || month(bd_2) AS DATE) = bd_1
+    ) THEN 85.0
+    WHEN year(bd_1) = year(bd_2) AND month(bd_1) = month(bd_2) THEN 70.0
+    WHEN year(bd_1) = year(bd_2) THEN 50.0
+    WHEN abs(year(bd_1) - year(bd_2)) = 1 THEN 40.0
+    ELSE 0.0
+  END AS DOUBLE) AS bd_pct
+FROM pairs
+"""
+
+
+def lk_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-level KPI table (csv_export.rs:155-227) over algo1 pairs.
+
+    Driver-side collects inside run_summary make this rows-only."""
+    from .sources.export import run_summary
+
+    pa_raw = persons_a(spark, sf_dir)
+    pb_raw = persons_b(spark, sf_dir)
+    pairs = match_algo1(prepare_persons(pa_raw), prepare_persons(pb_raw))
+    return run_summary(pa_raw, pb_raw, pairs, threshold=0.95)
+
+
+QUERIES.update(
+    {
+        "lk_overlap_stats": lk_overlap_stats,
+        "lk_partition_hist": lk_partition_hist,
+        "lk_date_similarity": lk_date_similarity,
+        "lk_run_summary": lk_run_summary,
+    }
+)
+ORACLES.update(
+    {
+        "lk_overlap_stats": LK_OVERLAP_SQL,
+        "lk_partition_hist": LK_PARTITION_SQL,
+        "lk_date_similarity": LK_DATE_SIM_SQL,
+        # lk_run_summary: rows-only (driver-side KPI assembly).
+    }
+)

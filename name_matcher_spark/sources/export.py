@@ -1,0 +1,108 @@
+"""Export sinks — the reference's CSV/summary surface (SURVEY §2.1).
+
+* ``export_pairs_csv``     — match pairs with the fuzzy threshold
+  applied AT WRITE time (csv_export.rs:80-83; default 0.95, clamped to
+  [0.6, 1.0] like main.rs:281-291).
+* ``export_households_csv``— the 7-column household aggregate layout
+  (csv_export.rs:114-136).
+* ``run_summary``          — the run-level KPI key/value report
+  (csv_export.rs:155-227) as a DataFrame: totals, match counts,
+  unmatched rates, per-case counts. Emitted as a metrics table rather
+  than an XLSX sheet (the reference's XLSX artifact is a reporting
+  concern, out of engine scope — SURVEY §2.1).
+
+Parquet remains the primary interchange format (stage checkpoints);
+CSV here is the reference-compatible export path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clamp_threshold(value: float, lo: float = 0.6, hi: float = 1.0) -> float:
+    """Reference env-threshold clamping (main.rs:286-291)."""
+    return max(lo, min(hi, value))
+
+
+def export_pairs_csv(
+    pairs: DataFrame, path: str, fuzzy_min_confidence: float = 0.95
+) -> None:
+    thr = clamp_threshold(fuzzy_min_confidence)
+    (
+        pairs.filter(F.col("confidence") >= thr)
+        .orderBy("id_1", "id_2")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def export_households_csv(households: DataFrame, path: str) -> None:
+    """7-column layout: row_id, uuid, hh_id, match_percentage + the
+    three optional passthrough columns (null here, as in the reference
+    when the source lacks them — mod.rs:412-414)."""
+    (
+        households.select(
+            "row_id",
+            "uuid",
+            "hh_id",
+            "match_percentage",
+            F.lit(None).cast("string").alias("region_code"),
+            F.lit(None).cast("double").alias("poor_hat_0"),
+            F.lit(None).cast("double").alias("poor_hat_10"),
+        )
+        .orderBy("row_id")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def run_summary(
+    t1: DataFrame,
+    t2: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """KPI table (metric, value) mirroring the reference summary:
+    table totals, matched-pair count, distinct matched persons per
+    side, unmatched counts/rates, per-case breakdown."""
+    spark = t1.sparkSession
+    n1, n2 = t1.count(), t2.count()
+    kept = pairs.filter(F.col("confidence") >= threshold)
+    n_pairs = kept.count()
+    m1 = kept.select("id_1").distinct().count()
+    m2 = kept.select("id_2").distinct().count()
+    per_case = {
+        r["match_case"]: r["count"]
+        for r in kept.groupBy("match_case").count().collect()
+    }
+    rows = [
+        ("table1_rows", float(n1)),
+        ("table2_rows", float(n2)),
+        ("matched_pairs", float(n_pairs)),
+        ("matched_persons_t1", float(m1)),
+        ("matched_persons_t2", float(m2)),
+        ("unmatched_t1", float(n1 - m1)),
+        ("unmatched_t2", float(n2 - m2)),
+        ("unmatched_rate_t1", round(1 - m1 / n1, 6) if n1 else 0.0),
+        ("unmatched_rate_t2", round(1 - m2 / n2, 6) if n2 else 0.0),
+    ] + [(f"case_{k.replace(' ', '_').lower()}", float(v)) for k, v in sorted(per_case.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def algo_overlap_stats(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """A1∩A2-style overlap: pairs in both / only-first / only-second
+    (main.rs:599-605, the XLSX summary's set intersection)."""
+    spark = pairs_a.sparkSession
+    ka = pairs_a.select("id_1", "id_2")
+    kb = pairs_b.select("id_1", "id_2")
+    both = ka.intersect(kb).count()
+    only_a = ka.exceptAll(ka.intersect(kb)).count()
+    only_b = kb.exceptAll(kb.intersect(ka)).count()
+    return spark.createDataFrame(
+        [("both", both), ("only_first", only_a), ("only_second", only_b)],
+        "bucket string, n_pairs long",
+    )

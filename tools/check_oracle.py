@@ -35,12 +35,15 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 def _canon(v):
     import datetime
+    import decimal
     import math
 
     if v is None:
         return None
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 6)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
