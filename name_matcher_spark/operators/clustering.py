@@ -46,25 +46,35 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        neighbor_labels = (
-            bidir.join(labels, bidir["dst"] == labels["node"], "inner")
-            .select(F.col("src").alias("node"), F.col("cluster_id"))
+        # One aggregation computes both the new label and whether it
+        # changed: self rows carry the old label flagged, neighbor rows
+        # carry candidate labels; changed <=> min(all) < min(self).
+        neighbor_labels = bidir.join(
+            labels, bidir["dst"] == labels["node"], "inner"
+        ).select(
+            F.col("src").alias("node"),
+            F.col("cluster_id"),
+            F.lit(False).alias("is_self"),
+        )
+        merged = neighbor_labels.union(
+            labels.select("node", "cluster_id", F.lit(True).alias("is_self"))
         )
         new_labels = (
-            neighbor_labels.union(labels.select("node", "cluster_id"))
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            merged.groupBy("node")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                (
+                    F.min("cluster_id")
+                    < F.min(F.when(F.col("is_self"), F.col("cluster_id")))
+                ).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+        any_changed = (
+            new_labels.filter(F.col("_changed")).limit(1).count() > 0
         )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_changed")
+        if not any_changed:
             break
     return labels
 
