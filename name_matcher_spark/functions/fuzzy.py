@@ -81,11 +81,16 @@ def metaphone_pct_col(code1: Column, code2: Column) -> Column:
     return F.when((c1 != "") & (c1 == c2), F.lit(100.0)).otherwise(F.lit(0.0))
 
 
+# Scoring-input columns per side (everything the ladder reads).
+_SCORING_INPUTS = ["full", "dmeta", "simple_first", "simple_middle", "simple_last"]
+
+
 def score_candidate_pairs(
     pairs: DataFrame,
     include_middle: bool,
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    dedup_inputs: bool = True,
 ) -> DataFrame:
     """Append score/match_case/confidence to a candidate-pair DataFrame
     and drop non-matches.
@@ -95,9 +100,28 @@ def score_candidate_pairs(
       {p}full          — normalize_simple'd full name (variant-specific)
       {p}dmeta         — double-metaphone code of the full name
       {p}simple_first / {p}simple_middle / {p}simple_last
+
+    ``dedup_inputs`` (default on): name distributions are heavy-tailed,
+    so candidate batches repeat the same scoring-input tuples many
+    times. The kernels run on DISTINCT input tuples only — the distinct
+    is cheap (map-side partial aggregation emits each partition's local
+    uniques, so the shuffle carries uniques, not pairs) and the scored
+    uniques join back to the pair stream by a single equi-join (AQE
+    broadcasts it when small). Identical results by construction; set
+    False for near-unique corpora to skip the extra join.
     """
     lp, rp = left_prefix, right_prefix
     full1, full2 = F.col(f"{lp}full"), F.col(f"{rp}full")
+
+    if dedup_inputs:
+        in_cols = [f"{p}{c}" for p in (lp, rp) for c in _SCORING_INPUTS]
+        uniq = pairs.select(*in_cols).distinct()
+        scored_uniq = score_candidate_pairs(
+            uniq, include_middle, lp, rp, dedup_inputs=False
+        )
+        # inner join: non-matching tuples (dropped by the ladder) drop
+        # their pairs too, exactly like direct scoring.
+        return pairs.join(scored_uniq, on=in_cols, how="inner")
 
     if JVM_FUSED_ENABLED:
         return _score_fused_jvm(pairs, include_middle, lp, rp)
