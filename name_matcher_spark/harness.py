@@ -365,7 +365,7 @@ WITH flagged AS (
     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
   FROM flagged
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id
 """
 
@@ -483,6 +483,16 @@ def lk_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
 
 
+def lk_fuzzy_pairs_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm 3 — fuzzy ladder WITH middle name (the Some/None middle
+    rules of fuzzy_compare_names_new, reference mod.rs:101-141). Double
+    Metaphone keeps it rows-only, like the 2-field variant."""
+    pa = prepare_persons(persons_a(spark, sf_dir), include_middle=True)
+    pb = prepare_persons(persons_b(spark, sf_dir), include_middle=True)
+    out = match_fuzzy(pa, pb, include_middle=True)
+    return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+
+
 def lk_household_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Option-5 household aggregation over algo1 pairs."""
     pa_raw = persons_a(spark, sf_dir)
@@ -526,6 +536,60 @@ pct AS (
   SELECT m.uuid_1 AS uuid, m.hh_key AS hh_id,
          m.members * 100.0 / t.total AS match_percentage
   FROM members m JOIN totals t ON m.uuid_1 = t.uuid
+  WHERE m.members * 100.0 / t.total > 50.0
+)
+SELECT CAST(row_number() OVER (ORDER BY uuid, hh_id) AS INT) AS row_id,
+       uuid, hh_id, round(match_percentage, 4) AS match_percentage
+FROM pct
+"""
+
+
+def lk_household_pct_opt6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option-6 household aggregation (role-swapped: best T1 uuid per
+    T2 person, denominator = T2 household size; reference
+    mod.rs:431-560) over algo1 pairs."""
+    from .operators.household import households_option6
+
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb_raw = persons_b(spark, sf_dir)
+    pb = prepare_persons(pb_raw)
+    pairs = match_algo1(pa, pb)
+    hh = pb_raw.select(F.col("id").alias("id_2"), F.col("hh_id").alias("hh_id_2"))
+    pairs_hh = pairs.join(hh, "id_2")
+    out = households_option6(pairs_hh, pb_raw, threshold=0.95)
+    return out.select(
+        "row_id", "uuid", "hh_id", F.round("match_percentage", 4).alias("match_percentage")
+    )
+
+
+LK_HOUSEHOLD6_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, a.uuid AS uuid_1, b.id AS id_2,
+         coalesce(b.hh_id, CAST(b.id AS VARCHAR)) AS hh_key
+  FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+  WHERE a.uuid IS NOT NULL
+),
+assigned AS (
+  SELECT id_2, min(hh_key) AS hh_key, min(uuid_1) AS uuid_1
+  FROM pairs GROUP BY id_2
+  HAVING count(DISTINCT uuid_1) = 1
+),
+members AS (
+  SELECT uuid_1, hh_key, count(DISTINCT id_2) AS members
+  FROM assigned GROUP BY uuid_1, hh_key
+),
+totals AS (
+  SELECT coalesce(hh_id, CAST(id AS VARCHAR)) AS hh_key_t, count(*) AS total
+  FROM pb GROUP BY 1
+),
+pct AS (
+  SELECT m.uuid_1 AS uuid, m.hh_key AS hh_id,
+         m.members * 100.0 / t.total AS match_percentage
+  FROM members m JOIN totals t ON m.hh_key = t.hh_key_t
   WHERE m.members * 100.0 / t.total > 50.0
 )
 SELECT CAST(row_number() OVER (ORDER BY uuid, hh_id) AS INT) AS row_id,
@@ -643,8 +707,12 @@ DD_MINHASH_SQL = _minhash_sql()
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered as the SCALE variant: stop-gram cut (max_doc_freq)
+    bounds the gram equi-join fan-out; the DuckDB oracle mirrors the
+    identical gram-universe filter so Jaccard values agree exactly."""
     out = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), candidates=None, k=3, threshold=0.62
+        _docs(spark, sf_dir), candidates=None, k=3, threshold=0.62,
+        max_doc_freq=100,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -658,8 +726,12 @@ offsets AS (
   SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 2)) AS i
   FROM docs2 WHERE strlen(t) >= 3
 ),
-grams AS (
+grams_all AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM offsets
+),
+grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING count(*) <= 100)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
@@ -835,7 +907,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_blocking_keys": lk_blocking_keys,
     "lk_lev_jw_scores": lk_lev_jw_scores,
     "lk_fuzzy_pairs": lk_fuzzy_pairs,
+    "lk_fuzzy_pairs_mid": lk_fuzzy_pairs_mid,
     "lk_household_pct": lk_household_pct,
+    "lk_household_pct_opt6": lk_household_pct_opt6,
     "lk_clusters": lk_clusters,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
@@ -862,6 +936,7 @@ ORACLES: dict[str, str] = {
     "lk_blocking_keys": LK_BLOCKING_SQL,
     "lk_lev_jw_scores": LK_LEV_JW_SQL,
     "lk_household_pct": LK_HOUSEHOLD_SQL,
+    "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,
     "lk_clusters": LK_CLUSTERS_SQL,
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,

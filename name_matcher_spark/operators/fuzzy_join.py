@@ -193,13 +193,18 @@ def match_fuzzy(
     p2: DataFrame,
     include_middle: bool,
     blocking: str = "bkey_cascade",
-    max_block_rows: int | None = None,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Algorithm 3 (include_middle=True) / 4 (False): candidates ->
     payload join -> birthdate gate -> fuzzy ladder -> matched pairs.
 
     ``prepare_persons`` must have been called with the SAME
     include_middle (it decides the `full`/`dmeta` variant).
+
+    ``max_block_rows`` defaults ON (10k): a single hot block (common
+    birthdate + initials) otherwise goes quadratic at crawl scale — AQE
+    splits the shuffle but cannot cap the pair count inside a block.
+    Pass None only for small, trusted inputs.
     """
     if blocking == "birthdate":
         cands = candidates_birthdate(p1, p2)

@@ -28,6 +28,47 @@ from pyspark.sql import functions as F
 F32_EPSILON = 1.1920929e-07
 
 
+def _with_row_id(out: DataFrame) -> DataFrame:
+    """Deterministic global row_id over (uuid, hh_id) order WITHOUT a
+    single-task global window.
+
+    `Window.orderBy` with no partitionBy funnels every row through one
+    task — fine at thousands of households, a choke at crawl scale.
+    Instead: repartitionByRange gives a total order across ascending
+    partition ids, row_number ranks within each partition, and a tiny
+    driver-side count map supplies the per-partition offsets (the map
+    is O(partitions), never O(rows))."""
+    n_parts = max(out.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        out.repartitionByRange(n_parts, "uuid", "hh_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = (
+        F.coalesce(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+                F.col("_pid")
+            ],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid").orderBy("uuid", "hh_id")
+    return ranged.withColumn(
+        "row_id", (F.row_number().over(w) + off_expr).cast("int")
+    ).select("row_id", "uuid", "hh_id", "match_percentage")
+
+
 def _best_assignment(
     pairs: DataFrame, person_col: str, group_col: str, cand_col: str
 ) -> DataFrame:
@@ -80,12 +121,8 @@ def households_option5(
             F.col("hh_key").alias("hh_id"),
             F.col("match_percentage"),
         )
-        .orderBy("uuid", "hh_id")
     )
-    w = Window.orderBy("uuid", "hh_id")
-    return out.withColumn("row_id", F.row_number().over(w)).select(
-        "row_id", "uuid", "hh_id", "match_percentage"
-    )
+    return _with_row_id(out)
 
 
 def households_option6(
@@ -118,9 +155,5 @@ def households_option6(
             F.col("hh_key").alias("hh_id"),
             F.col("match_percentage"),
         )
-        .orderBy("uuid", "hh_id")
     )
-    w = Window.orderBy("uuid", "hh_id")
-    return out.withColumn("row_id", F.row_number().over(w)).select(
-        "row_id", "uuid", "hh_id", "match_percentage"
-    )
+    return _with_row_id(out)

@@ -29,7 +29,7 @@ from ..operators.extract import extract_entities
 from ..operators.fuzzy_join import match_fuzzy
 from ..operators.household import households_option5
 from ..operators.prepare import prepare_persons
-from ..sources.checkpoint import StageCheckpoint
+from ..sources.checkpoint import StageCheckpoint, fingerprint_df
 
 
 @dataclass
@@ -60,11 +60,23 @@ def run_linkage(
     ckpt = StageCheckpoint(spark, work_dir)
     out: dict[str, DataFrame] = {}
 
+    # Config fingerprint: the reference pins table names + algorithm in
+    # its checkpoint token (checkpoint.rs:4-15); here every stage that
+    # depends on a knob records it, so re-running with a different
+    # config rebuilds instead of serving a stale stage.
+    cfg_fp = {
+        "include_middle": cfg.include_middle,
+        "blocking": cfg.blocking,
+        "max_block_rows": cfg.max_block_rows,
+        "fuzzy_threshold": cfg.fuzzy_threshold,
+    }
+
     if pages_a is not None:
         persons_a = ckpt.run_stage(
             "extract_a",
             lambda: extract_entities(pages_a).withColumnRenamed("url", "uuid"),
             inputs=["pages_a"],
+            input_fingerprints={"pages_a": fingerprint_df(pages_a)},
             force=force,
         )
     if pages_b is not None:
@@ -72,21 +84,39 @@ def run_linkage(
             "extract_b",
             lambda: extract_entities(pages_b).withColumnRenamed("url", "uuid"),
             inputs=["pages_b"],
+            input_fingerprints={"pages_b": fingerprint_df(pages_b)},
             force=force,
         )
     if persons_a is None or persons_b is None:
         raise ValueError("need persons_{a,b} or pages_{a,b}")
 
+    # Root person fingerprints: when extraction ran, the extract_* stage
+    # manifests chain for free; direct person inputs are external and
+    # get measured once here (one count job each, reused below).
+    fp_a = (
+        None if pages_a is not None else {"persons_a": fingerprint_df(persons_a)}
+    )
+    fp_b = (
+        None if pages_b is not None else {"persons_b": fingerprint_df(persons_b)}
+    )
     pa = ckpt.run_stage(
         "prepare_a",
         lambda: prepare_persons(persons_a, cfg.include_middle),
-        inputs=["extract_a"],
+        inputs=(["extract_a"] if pages_a is not None else ["persons_a"]) + ["config"],
+        input_fingerprints={
+            **(fp_a or {}),
+            "config": {"include_middle": cfg.include_middle},
+        },
         force=force,
     )
     pb = ckpt.run_stage(
         "prepare_b",
         lambda: prepare_persons(persons_b, cfg.include_middle),
-        inputs=["extract_b"],
+        inputs=(["extract_b"] if pages_b is not None else ["persons_b"]) + ["config"],
+        input_fingerprints={
+            **(fp_b or {}),
+            "config": {"include_middle": cfg.include_middle},
+        },
         force=force,
     )
     out["prepare_a"], out["prepare_b"] = pa, pb
@@ -101,7 +131,8 @@ def run_linkage(
             max_block_rows=cfg.max_block_rows,
         ),
         score_col="confidence",
-        inputs=["prepare_a", "prepare_b"],
+        inputs=["prepare_a", "prepare_b", "config"],
+        input_fingerprints={"config": cfg_fp},
         force=force,
     )
     out["pairs_fuzzy"] = pairs
@@ -112,14 +143,20 @@ def run_linkage(
             lambda: households_option5(
                 pairs, persons_a, threshold=cfg.household_threshold
             ),
-            inputs=["pairs_fuzzy"],
+            inputs=["pairs_fuzzy", "config"],
+            input_fingerprints={
+                "config": {"household_threshold": cfg.household_threshold}
+            },
             force=force,
         )
     if "clusters" in cfg.stages:
         out["clusters"] = ckpt.run_stage(
             "clusters",
             lambda: cluster_pairs(pairs, threshold=cfg.cluster_threshold),
-            inputs=["pairs_fuzzy"],
+            inputs=["pairs_fuzzy", "config"],
+            input_fingerprints={
+                "config": {"cluster_threshold": cfg.cluster_threshold}
+            },
             force=force,
         )
     return out

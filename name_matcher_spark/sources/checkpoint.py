@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fingerprint_df(df: DataFrame) -> dict:
+    """Content fingerprint of an external input: row count + schema.
+    Cheap relative to any stage that consumes the input (one count job;
+    on a real lake it's a snapshot/metadata read)."""
+    return {"row_count": df.count(), "schema": df.schema.simpleString()}
+
+
 class StageCheckpoint:
     def __init__(self, spark: SparkSession, work_dir: str) -> None:
         self.spark = spark
@@ -38,7 +45,41 @@ class StageCheckpoint:
     def _manifest_path(self, stage: str) -> Path:
         return self.work_dir / f"{stage}.manifest.json"
 
-    def is_complete(self, stage: str) -> bool:
+    def _expected_fingerprints(
+        self, inputs: list[str] | None, explicit: dict | None
+    ) -> dict:
+        """Fingerprint each named input: explicit (caller-measured, for
+        external inputs) wins; otherwise derive from the input stage's
+        own manifest; inputs with neither stay unchecked (None)."""
+        fps: dict = {}
+        for name in inputs or []:
+            if explicit and name in explicit:
+                fps[name] = explicit[name]
+                continue
+            mp = self._manifest_path(name)
+            if mp.exists():
+                try:
+                    m = json.loads(mp.read_text())
+                    fps[name] = {
+                        "row_count": m.get("row_count"),
+                        "schema": m.get("schema"),
+                    }
+                except json.JSONDecodeError:
+                    fps[name] = None
+            else:
+                fps[name] = None
+        return fps
+
+    def is_complete(
+        self,
+        stage: str,
+        inputs: list[str] | None = None,
+        input_fingerprints: dict | None = None,
+    ) -> bool:
+        """A stage is servable iff its Parquet commit + manifest exist
+        AND every checkable input fingerprint matches what the manifest
+        recorded — changed upstream data invalidates the stage instead
+        of being silently served stale."""
         mp = self._manifest_path(stage)
         if not mp.exists():
             return False
@@ -46,9 +87,16 @@ class StageCheckpoint:
             manifest = json.loads(mp.read_text())
         except json.JSONDecodeError:
             return False
-        return (self._stage_dir(stage) / "_SUCCESS").exists() and (
-            "row_count" in manifest
-        )
+        if not (self._stage_dir(stage) / "_SUCCESS").exists():
+            return False
+        if "row_count" not in manifest:
+            return False
+        expected = self._expected_fingerprints(inputs, input_fingerprints)
+        recorded = manifest.get("input_fingerprints", {})
+        for name, fp in expected.items():
+            if fp is not None and recorded.get(name) != fp:
+                return False
+        return True
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(str(self._stage_dir(stage)))
@@ -62,6 +110,7 @@ class StageCheckpoint:
         df: DataFrame,
         score_col: str | None = None,
         inputs: list[str] | None = None,
+        input_fingerprints: dict | None = None,
     ) -> DataFrame:
         """Materialize a stage and its lineage manifest; returns the
         re-read DataFrame (so downstream consumes the checkpoint, not
@@ -82,6 +131,9 @@ class StageCheckpoint:
             "schema": persisted.schema.simpleString(),
             "partitions": sorted(per_partition, key=lambda x: x["partition"]),
             "inputs": inputs or [],
+            "input_fingerprints": self._expected_fingerprints(
+                inputs, input_fingerprints
+            ),
         }
         if score_col and score_col in persisted.columns:
             hist = (
@@ -108,10 +160,18 @@ class StageCheckpoint:
         build,
         score_col: str | None = None,
         inputs: list[str] | None = None,
+        input_fingerprints: dict | None = None,
         force: bool = False,
     ) -> DataFrame:
-        """Resume contract: return the checkpoint if valid, else build
-        (a zero-arg callable returning a DataFrame), write, return."""
-        if not force and self.is_complete(stage):
+        """Resume contract: return the checkpoint if its manifest AND
+        input fingerprints validate, else build (a zero-arg callable
+        returning a DataFrame), write, return."""
+        if not force and self.is_complete(stage, inputs, input_fingerprints):
             return self.read(stage)
-        return self.write(stage, build(), score_col=score_col, inputs=inputs)
+        return self.write(
+            stage,
+            build(),
+            score_col=score_col,
+            inputs=inputs,
+            input_fingerprints=input_fingerprints,
+        )

@@ -71,14 +71,24 @@ def run_summary(
     side, unmatched counts/rates, per-case breakdown."""
     spark = t1.sparkSession
     n1, n2 = t1.count(), t2.count()
-    kept = pairs.filter(F.col("confidence") >= threshold)
-    n_pairs = kept.count()
-    m1 = kept.select("id_1").distinct().count()
-    m2 = kept.select("id_2").distinct().count()
-    per_case = {
-        r["match_case"]: r["count"]
-        for r in kept.groupBy("match_case").count().collect()
-    }
+    # One cached pass over the (expensive) pairs pipeline: the scalar
+    # KPIs come from a single agg job, the per-case breakdown from one
+    # more — previously each distinct()/count() re-ran the whole
+    # upstream matching job (5 full jobs instead of 2).
+    kept = pairs.filter(F.col("confidence") >= threshold).persist()
+    try:
+        totals = kept.agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_1").alias("m1"),
+            F.countDistinct("id_2").alias("m2"),
+        ).collect()[0]
+        n_pairs, m1, m2 = totals["n_pairs"], totals["m1"], totals["m2"]
+        per_case = {
+            r["match_case"]: r["count"]
+            for r in kept.groupBy("match_case").count().collect()
+        }
+    finally:
+        kept.unpersist()
     rows = [
         ("table1_rows", float(n1)),
         ("table2_rows", float(n2)),

@@ -32,8 +32,8 @@ def test_registry_consistency():
     # every non-oracle query is one of the documented non-SQL ops
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "lk_fuzzy_pairs", "dd_simhash", "sim_lsh_topk", "mm_media_features",
-        "lk_run_summary",
+        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "dd_simhash", "sim_lsh_topk",
+        "mm_media_features", "lk_run_summary",
     }
 
 

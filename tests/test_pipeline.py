@@ -39,7 +39,8 @@ def test_full_pipeline_and_resume(spark, corpus, tmp_path):
     # Manifests exist with lineage + score histogram.
     m = json.loads((Path(work) / "pairs_fuzzy.manifest.json").read_text())
     assert m["row_count"] == len(pairs1)
-    assert m["inputs"] == ["prepare_a", "prepare_b"]
+    assert m["inputs"] == ["prepare_a", "prepare_b", "config"]
+    assert m["input_fingerprints"]["prepare_a"]["row_count"] is not None
     assert "score_histogram" in m and m["score_histogram"]
     assert sum(p["rows"] for p in m["partitions"]) == len(pairs1)
 
@@ -49,11 +50,16 @@ def test_full_pipeline_and_resume(spark, corpus, tmp_path):
         shutil.rmtree(Path(work) / stage, ignore_errors=True)
         (Path(work) / f"{stage}.manifest.json").unlink(missing_ok=True)
 
-    # Poison the upstream inputs: if resume re-ran extraction/scoring it
-    # would crash on these (they are invalid), proving stages are skipped.
-    out2 = run_linkage(spark, work, pages_a=None, pages_b=None,
-                       persons_a=out1["prepare_a"], persons_b=out1["prepare_b"],
-                       config=cfg)
+    # Resume with the SAME inputs: every upstream stage must be SERVED
+    # (manifest untouched), only the deleted downstream stages rebuild,
+    # and the final outputs are byte-identical.
+    upstream_mtimes = {
+        s: (Path(work) / f"{s}.manifest.json").stat().st_mtime
+        for s in ("extract_a", "extract_b", "prepare_a", "prepare_b", "pairs_fuzzy")
+    }
+    out2 = run_linkage(spark, work, pages_a=pages_a, pages_b=pages_b, config=cfg)
+    for s, t in upstream_mtimes.items():
+        assert (Path(work) / f"{s}.manifest.json").stat().st_mtime == t, s
     assert _collect_sorted(out2["pairs_fuzzy"]) == pairs1
     assert _collect_sorted(out2["clusters"]) == clusters1
 
@@ -74,6 +80,50 @@ def test_resume_skips_completed_stage(spark, corpus, tmp_path):
     n_before = ckpt.read("pairs_fuzzy").count()
     out = run_linkage(spark, work, pages_a=pages_a, pages_b=pages_b)
     assert out["pairs_fuzzy"].count() == n_before
+
+
+def test_stale_input_rebuilds(spark, tmp_path):
+    """Changed upstream data must invalidate dependent stages (input
+    content fingerprints in the manifest), while untouched branches are
+    still served from checkpoint."""
+    a_pd, b_pd, _ = make_dirty(400)
+    pa = spark.createDataFrame(a_pd)
+    pb = spark.createDataFrame(b_pd)
+    work = str(tmp_path / "wd4")
+    out1 = run_linkage(spark, work, persons_a=pa, persons_b=pb)
+    n1 = out1["pairs_fuzzy"].count()
+
+    mtime_a = (Path(work) / "prepare_a.manifest.json").stat().st_mtime
+    mtime_b = (Path(work) / "prepare_b.manifest.json").stat().st_mtime
+
+    # Upstream B shrinks: prepare_b + pairs_fuzzy must rebuild, and the
+    # untouched A branch must be served (manifest not rewritten).
+    pb2 = pb.filter("id % 2 = 0")
+    out2 = run_linkage(spark, work, persons_a=pa, persons_b=pb2)
+    assert out2["pairs_fuzzy"].count() < n1
+
+    m_b = json.loads((Path(work) / "prepare_b.manifest.json").read_text())
+    assert m_b["input_fingerprints"]["persons_b"]["row_count"] == pb2.count()
+    assert (Path(work) / "prepare_b.manifest.json").stat().st_mtime > mtime_b
+    assert (Path(work) / "prepare_a.manifest.json").stat().st_mtime == mtime_a
+
+
+def test_config_change_rebuilds_scoring(spark, tmp_path):
+    """A scoring-config change invalidates pairs_fuzzy but not the
+    prepare stages (per-stage config fingerprints, reference
+    checkpoint.rs:4-15 pins algorithm in the token)."""
+    a_pd, b_pd, _ = make_dirty(400)
+    pa = spark.createDataFrame(a_pd)
+    pb = spark.createDataFrame(b_pd)
+    work = str(tmp_path / "wd5")
+    run_linkage(spark, work, persons_a=pa, persons_b=pb)
+    mtime_prep = (Path(work) / "prepare_a.manifest.json").stat().st_mtime
+    mtime_pairs = (Path(work) / "pairs_fuzzy.manifest.json").stat().st_mtime
+
+    cfg2 = LinkageConfig(max_block_rows=500)
+    run_linkage(spark, work, persons_a=pa, persons_b=pb, config=cfg2)
+    assert (Path(work) / "pairs_fuzzy.manifest.json").stat().st_mtime > mtime_pairs
+    assert (Path(work) / "prepare_a.manifest.json").stat().st_mtime == mtime_prep
 
 
 def test_torn_manifest_forces_recompute(spark, corpus, tmp_path):

@@ -77,11 +77,28 @@ def test_fuzzy_scoring_single_kernel_eval(spark):
     from name_matcher_spark.operators.fuzzy_join import match_fuzzy
     from name_matcher_spark.operators.prepare import prepare_persons
 
+    from name_matcher_spark.functions import similarity
+
     pa = prepare_persons(harness.persons_a(spark, SF), include_middle=False)
     pb = prepare_persons(harness.persons_b(spark, SF), include_middle=False)
     plan = _plan(match_fuzzy(pa, pb, include_middle=False))
-    assert plan.count("nms_jw_pct") <= 1
+    # Assert on whichever kernel is ACTIVE — a jar build failure must
+    # not green-wash the barrier via a vacuous 0-count.
+    if similarity.JVM_JW_ENABLED:
+        assert plan.count("nms_jw_pct") == 1
+    else:
+        assert plan.count("_jaro_winkler_pct_udf") == 1
     assert "Generate explode" in plan
+
+
+def test_registered_ngram_variant_is_capped(spark):
+    """The REGISTERED dd_ngram_jaccard must run the stop-gram cut: its
+    plan carries the LeftSemi gram filter ahead of the gram self-join
+    (uncapped, the self-join goes quadratic on stop-grams at scale)."""
+    from name_matcher_spark import harness
+
+    plan = _plan(harness.dd_ngram_jaccard(spark, SF))
+    assert "LeftSemi" in plan
 
 
 def test_broadcast_for_small_dimension(spark):
