@@ -20,18 +20,26 @@ from name_matcher_spark import harness  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full linkage run at sf0.001 — derive person tables,
-    exact + fuzzy matching, transitive clustering; returns per-cluster
-    summary rows."""
+    """Flagship: the north-star web pipeline at sf0.001 — synthesize
+    Common-Crawl-style pages(url, warc_ts, html, text, lang), extract
+    entities, blocked fuzzy matching, transitive clustering; returns
+    per-cluster summary rows."""
     from pyspark.sql import functions as F
 
     from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.operators.extract import extract_entities
     from name_matcher_spark.operators.fuzzy_join import match_fuzzy
     from name_matcher_spark.operators.prepare import prepare_persons
 
     sf_dir = "/root/testdata/sf0.001"
-    pa = prepare_persons(harness.persons_a(spark, sf_dir), include_middle=False)
-    pb = prepare_persons(harness.persons_b(spark, sf_dir), include_middle=False)
+    ea = extract_entities(
+        harness._persons_to_pages(harness.persons_a(spark, sf_dir), "a")
+    ).withColumnRenamed("url", "uuid")
+    eb = extract_entities(
+        harness._persons_to_pages(harness.persons_b(spark, sf_dir), "b")
+    ).withColumnRenamed("url", "uuid")
+    pa = prepare_persons(ea, include_middle=False)
+    pb = prepare_persons(eb, include_middle=False)
     pairs = match_fuzzy(pa, pb, include_middle=False)
     clusters = cluster_pairs(pairs, threshold=0.95)
     return (

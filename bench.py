@@ -35,8 +35,26 @@ def linkage_e2e(spark, sf_dir: str):
     return cluster_pairs(pairs, threshold=0.95)
 
 
+def wp_linkage_e2e(spark, sf_dir: str):
+    """North-star path: pages(url, warc_ts, html, text, lang) ->
+    extract_entities -> prepare -> blocked fuzzy match -> clustering."""
+    from name_matcher_spark.operators.extract import extract_entities
+
+    ea = extract_entities(
+        harness._persons_to_pages(harness.persons_a(spark, sf_dir), "a")
+    ).withColumnRenamed("url", "uuid")
+    eb = extract_entities(
+        harness._persons_to_pages(harness.persons_b(spark, sf_dir), "b")
+    ).withColumnRenamed("url", "uuid")
+    pa = prepare_persons(ea, include_middle=False).persist()
+    pb = prepare_persons(eb, include_middle=False).persist()
+    pairs = match_fuzzy(pa, pb, include_middle=False)
+    return cluster_pairs(pairs, threshold=0.95)
+
+
 BENCH_QUERIES = {
     "linkage_e2e": linkage_e2e,
+    "wp_linkage_e2e": wp_linkage_e2e,
     "lk_algo1_pairs": harness.lk_algo1_pairs,
     "lk_fuzzy_pairs": harness.lk_fuzzy_pairs,
     "lk_household_pct": harness.lk_household_pct,
@@ -92,6 +110,8 @@ def main() -> None:
         "cpus": cpus,
         "rows": n_rows,
         "linkage_pages_per_sec": pages_per_sec,
+        # html-in -> clusters-out (includes page synthesis + extraction)
+        "wp_pages_per_sec": round(n_input / times["wp_linkage_e2e"], 1),
     }
     print(json.dumps(out))
 

@@ -957,6 +957,112 @@ ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# E. Web-pages pipeline (BASELINE.json input_hint: pages(url, warc_ts,
+# html binary, text, lang) -> extract -> link). The pages table is
+# synthesized IDENTICALLY in both dialects from customer/orders, the
+# Spark side then runs the REAL extract_entities operator over the
+# html/text column, and the oracle states the closed-form expected
+# fields — so a hash match proves the extraction round-trip recovers
+# the entity block byte-identically per url (md5 over the bytes).
+# ---------------------------------------------------------------------------
+
+PAGE_LANGS = ["en", "en", "en", "en", "en", "en", "en", "es", "de", "fr"]
+
+
+def _persons_to_pages(p: DataFrame, tag: str) -> DataFrame:
+    """(url, warc_ts, html, text, lang) from a person table — the same
+    template as fixtures/pages.py, expressed in JVM functions."""
+    ent = F.concat(
+        F.lit("NAME: "),
+        F.coalesce("first_name", F.lit("")),
+        F.lit("|"),
+        F.coalesce("middle_name", F.lit("")),
+        F.lit("|"),
+        F.coalesce("last_name", F.lit("")),
+        F.lit("\nBORN: "),
+        F.date_format("birthdate", "yyyy-MM-dd"),
+        F.lit("\nHH: "),
+        F.coalesce("hh_id", F.lit("")),
+    )
+    h = (F.col("id") % 97).cast("string")
+    body = F.concat(
+        F.lit("<html><head><title>record "),
+        F.col("id").cast("string"),
+        F.lit("</title></head><body>\n<p>boilerplate nav and chrome for host"),
+        h,
+        F.lit('</p>\n<div class="entity">\n'),
+        ent,
+        F.lit("\n</div>\n<p>footer boilerplate</p>\n</body></html>"),
+    )
+    return p.select(
+        F.concat(
+            F.lit("https://host"), h, F.lit(".example/"), F.lit(tag), F.lit("/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 7).alias("warc_ts"),
+        F.encode(body, "UTF-8").alias("html"),
+        body.alias("text"),
+        _pool_at(PAGE_LANGS, (F.col("id") % 10).cast("int")).alias("lang"),
+    )
+
+
+def wp_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages -> extract_entities; entity_sha pins the per-url
+    byte-identical extracted text invariant (north rule)."""
+    from .operators.extract import extract_entities
+
+    pages = _persons_to_pages(persons_a(spark, sf_dir), "a")
+    out = extract_entities(pages)
+    return out.select(
+        "url",
+        "lang",
+        "entity_text",
+        F.md5(F.encode("entity_text", "UTF-8")).alias("entity_sha"),
+        "id",
+        "first_name",
+        "middle_name",
+        "last_name",
+        "birthdate",
+        "hh_id",
+    )
+
+
+_ENT_SQL = (
+    "'NAME: ' || coalesce(first_name, '') || '|' || coalesce(middle_name, '') "
+    "|| '|' || coalesce(last_name, '') || chr(10) || 'BORN: ' "
+    "|| strftime(birthdate, '%Y-%m-%d') || chr(10) || 'HH: ' || coalesce(hh_id, '')"
+)
+
+WP_EXTRACT_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL})
+SELECT
+  'https://host' || CAST(id % 97 AS VARCHAR) || '.example/a/p' || CAST(id AS VARCHAR) AS url,
+  ({_sql_list(PAGE_LANGS)})[CAST(id % 10 AS INT) + 1] AS lang,
+  {_ENT_SQL} AS entity_text,
+  md5({_ENT_SQL}) AS entity_sha,
+  id, first_name, middle_name, last_name, birthdate, hh_id
+FROM pa
+"""
+
+
+def wp_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full web pipeline: synthesize pages on BOTH sides -> extract ->
+    prepare -> Algo-1 join. Must produce the exact pair set the direct
+    person-table path produces (oracle = LK_ALGO1_SQL)."""
+    from .operators.extract import extract_entities
+
+    ea = extract_entities(
+        _persons_to_pages(persons_a(spark, sf_dir), "a")
+    ).withColumnRenamed("url", "uuid")
+    eb = extract_entities(
+        _persons_to_pages(persons_b(spark, sf_dir), "b")
+    ).withColumnRenamed("url", "uuid")
+    return match_algo1(prepare_persons(ea), prepare_persons(eb)).select(
+        "id_1", "id_2"
+    )
+
+
 def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vs A2 pair-set overlap (main.rs:599-605)."""
     from .sources.export import algo_overlap_stats
@@ -1080,6 +1186,8 @@ def lk_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update(
     {
+        "wp_extract_entities": wp_extract_entities,
+        "wp_linkage_pairs": wp_linkage_pairs,
         "lk_overlap_stats": lk_overlap_stats,
         "lk_partition_hist": lk_partition_hist,
         "lk_date_similarity": lk_date_similarity,
@@ -1088,6 +1196,8 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "wp_extract_entities": WP_EXTRACT_SQL,
+        "wp_linkage_pairs": LK_ALGO1_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,
