@@ -606,6 +606,16 @@ def lk_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs, threshold=0.95)
 
 
+def lk_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract via the large-star/small-star
+    contraction (O(log n) rounds — the adversarial-diameter scale
+    path); must match the identical recursive-CTE oracle."""
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    pairs = match_algo1(pa, pb)
+    return cluster_pairs(pairs, threshold=0.95, method="bigstar")
+
+
 LK_CLUSTERS_SQL = f"""
 WITH RECURSIVE pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
 pairs AS (
@@ -911,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_household_pct": lk_household_pct,
     "lk_household_pct_opt6": lk_household_pct_opt6,
     "lk_clusters": lk_clusters,
+    "lk_clusters_bigstar": lk_clusters_bigstar,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -938,6 +949,7 @@ ORACLES: dict[str, str] = {
     "lk_household_pct": LK_HOUSEHOLD_SQL,
     "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,
     "lk_clusters": LK_CLUSTERS_SQL,
+    "lk_clusters_bigstar": LK_CLUSTERS_SQL,
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,

@@ -1,19 +1,21 @@
 """Transitive clustering: connected components over the match-pair graph.
 
 The reference stops at best-match argmax; BASELINE.json's north rule
-adds transitive closure into entity clusters. Implemented as iterative
-min-label propagation with DataFrame joins (the standard Spark CC
-shape; GraphFrames is not available in this environment):
+adds transitive closure into entity clusters. Two methods, same
+contract (GraphFrames is not available in this environment):
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+* ``propagate`` — iterative min-label propagation, one shuffle per
+  round, O(diameter) rounds. Linkage graphs are star-like around base
+  records (small diameter), so this is the right cost model for the
+  common case and the cheapest per round.
+* ``bigstar`` — alternating large-star/small-star contraction (the
+  published MapReduce-CC scheme of Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): O(log n) rounds
+  regardless of diameter. The scale path for adversarial inputs —
+  long duplicate chains (serial re-crawls, chained aliases) where
+  propagation would take hundreds of rounds.
 
-Linkage graphs are star-like around base records (small diameter), so
-convergence takes a handful of iterations; each iteration is one
-shuffle on the node id, and ``localCheckpoint`` truncates the lineage
-so plans don't grow exponentially. For adversarially long chains the
-alternating large-star/small-star variant would cut iteration count to
-O(log^2 n); diameter here is bounded by duplicate-chain length, so
-plain propagation is the right cost model.
+Each round localCheckpoints so plans don't grow exponentially.
 """
 
 from __future__ import annotations
@@ -79,7 +81,92 @@ def connected_components(
     return labels
 
 
-def cluster_pairs(pairs: DataFrame, threshold: float = 0.95) -> DataFrame:
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edges -> for every node u: connect each LARGER neighbor to
+    m(u) = min(N(u) ∪ {u}). Strictly decreases large neighbors' labels;
+    never creates an edge between two nodes both larger than m."""
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        bidir.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct every edge large->small; for each node u connect all its
+    smaller neighbors (and u itself) to m(u) = min of those."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = d.join(m, "u")
+    emit1 = nbrs.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    emit2 = m.select("u", F.col("m").alias("v"))
+    return emit1.union(emit2).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_bigstar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction. Same contract as
+    ``connected_components``; O(log n) rounds independent of graph
+    diameter. Convergence when the edge multiset fixpoints, detected
+    via (count, sum(u), sum(v)) — label sums are monotone under both
+    transforms, so the triple is stationary only at the fixpoint."""
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # Self-loop-only nodes are singleton components (same contract as
+    # propagate), so collect the node universe BEFORE dropping loops.
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        sig = (sig["c"], sig["su"], sig["sv"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint is a star forest: every non-root points straight at its
+    # component min. Roots appear only on the v side (or not at all for
+    # singleton inputs, excluded upstream).
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("node"), "cluster_id"
+    )
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("cluster_id", F.col("node"))
+    return labels.unionByName(roots)
+
+
+def cluster_pairs(
+    pairs: DataFrame, threshold: float = 0.95, method: str = "propagate"
+) -> DataFrame:
     """Match pairs (id_1, id_2, confidence) -> (side, id, cluster_id).
 
     Node namespace: table-A ids map to 2*id, table-B ids to 2*id+1 so
@@ -89,7 +176,12 @@ def cluster_pairs(pairs: DataFrame, threshold: float = 0.95) -> DataFrame:
     edges = pairs.filter(F.col("confidence") >= threshold).select(
         (F.col("id_1") * 2).alias("src"), (F.col("id_2") * 2 + 1).alias("dst")
     )
-    comp = connected_components(edges)
+    if method == "bigstar":
+        comp = connected_components_bigstar(edges)
+    elif method == "propagate":
+        comp = connected_components(edges)
+    else:
+        raise ValueError(f"unknown clustering method: {method}")
     return comp.select(
         F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
         F.floor(F.col("node") / 2).cast("long").alias("id"),

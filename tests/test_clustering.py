@@ -2,13 +2,46 @@
 
 from __future__ import annotations
 
+import random
+
+import pytest
+
 from name_matcher_spark.fixtures.pages import make_pages
 from name_matcher_spark.fixtures.persons import make_dirty
 from name_matcher_spark.operators.clustering import (
     cluster_pairs,
     connected_components,
+    connected_components_bigstar,
 )
 from name_matcher_spark.operators.extract import extract_entities
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> set[frozenset[int]]:
+    """Driver-side union-find oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, set[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in comps.values()}
+
+
+def _spark_components(df) -> set[frozenset[int]]:
+    comps: dict[int, set[int]] = {}
+    for r in df.collect():
+        comps.setdefault(r.cluster_id, set()).add(r.node)
+    return {frozenset(v) for v in comps.values()}
 
 
 def test_connected_components_basic(spark):
@@ -43,6 +76,48 @@ def test_cluster_pairs_namespaces(spark):
     # a1-b7-a2 form one cluster (min encoded node = 2*1 = 2);
     # the 0.5-confidence pair is below threshold -> no cluster.
     assert got == {("a", 1, 2), ("b", 7, 2), ("a", 2, 2)}
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("basic", [(1, 2), (2, 3), (10, 11), (5, 5)]),
+        ("deep_chain", [(i, i + 1) for i in range(1, 120)]),
+        ("two_cliques_bridged", [(a, b) for a in range(1, 8) for b in range(a + 1, 8)]
+         + [(a, b) for a in range(100, 107) for b in range(a + 1, 107)]
+         + [(7, 100)]),
+        ("random", [
+            (rng.randrange(0, 300), rng.randrange(0, 300))
+            for rng in [random.Random(42)]
+            for _ in range(400)
+        ]),
+    ],
+)
+def test_bigstar_matches_union_find(spark, name, edges):
+    """Large-star/small-star (the O(log n)-round scale path) against a
+    driver-side union-find on adversarial shapes — including a
+    120-deep chain, where plain propagation needs O(diameter) rounds."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = _spark_components(connected_components_bigstar(df))
+    want = _uf_components(edges)
+    assert got == want
+    # cluster ids are the component minimum (same convention as
+    # propagate, so the two methods are interchangeable downstream)
+    for r in connected_components_bigstar(df).collect():
+        assert r.cluster_id <= r.node
+
+
+def test_cluster_pairs_methods_agree(spark):
+    pairs = spark.createDataFrame(
+        [(1, 7, 1.0), (2, 7, 1.0), (3, 9, 0.99), (4, 9, 0.99), (6, 2, 1.0)],
+        ["id_1", "id_2", "confidence"],
+    )
+    a = {(r.side, r.id, r.cluster_id) for r in cluster_pairs(pairs).collect()}
+    b = {
+        (r.side, r.id, r.cluster_id)
+        for r in cluster_pairs(pairs, method="bigstar").collect()
+    }
+    assert a == b
 
 
 def test_extraction_byte_identical(spark):

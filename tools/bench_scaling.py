@@ -128,6 +128,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--kernel-child":
         kernel_child(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--longlev-child":
+        longlev_child(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--longlev":
+        run_longlev()
+        return
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     data_dir = ensure_fixture(size)
     print(f"fixture ready: {data_dir} ({size} rows/side)")
@@ -256,6 +262,94 @@ def kernel_child(cpus: int, cand_dir: str) -> None:
             }
         )
     )
+
+
+def longlev_child(cpus: int) -> None:
+    """High compute-per-byte engine stage: the exact lev_pct_col kernel
+    (similarity.py) over deterministic ~300-char strings. Levenshtein is
+    O(n^2) compute on O(n) bytes, so per-task work stays cache-resident
+    and the stage exposes the CPU scaling the short-string profiles
+    can't (they saturate this box's memory subsystem by 8 threads)."""
+    import pyspark.sql.functions as F
+
+    from name_matcher_spark.functions.similarity import lev_pct_col
+    from name_matcher_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"longlev-{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
+    )
+    rows, reps = 250_000, 33  # ~300-char strings
+    df = (
+        spark.range(0, rows, 1, 64)
+        .select(
+            F.repeat(
+                F.concat(F.lit("abcdefgh"), (F.col("id") % 7).cast("string")), reps
+            ).alias("a"),
+            F.concat(
+                F.repeat(
+                    F.concat(F.lit("abcdefgh"), (F.col("id") % 5).cast("string")), reps
+                ),
+                (F.col("id") % 13).cast("string"),
+            ).alias("b"),
+        )
+        .persist()
+    )
+    df.count()
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        df.select(lev_pct_col(F.col("a"), F.col("b")).alias("p")).agg(
+            F.sum("p")
+        ).collect()
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": wall,
+                "walls": walls,
+                "rows": rows,
+                "rows_per_sec": round(rows / wall, 1),
+            }
+        )
+    )
+
+
+def run_longlev() -> dict:
+    """Run the long-string kernel at both N->4N pairs (4->16 and
+    8->32); merge into BENCH/scaling_latest.json (additive — the
+    full-pipeline rows are expensive and measured separately).
+
+    The 4->16 pair is the cleaner cluster analogue on this box: at 32
+    threads the VM shares its memory subsystem with noisy neighbors,
+    while 4->16 leaves headroom — exactly like executors that don't
+    oversubscribe their host."""
+    res = {}
+    for cpus in (4, 16, 8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--longlev-child", str(cpus)],
+            capture_output=True, text=True, check=False, timeout=1200,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                res[cpus] = json.loads(line)
+        if cpus not in res:
+            raise RuntimeError(f"longlev child failed: {proc.stderr[-1500:]}")
+        print("longlev", cpus, "->", res[cpus])
+    merged = {}
+    for lo, hi in ((4, 16), (8, 32)):
+        speed = res[lo]["wall_sec"] / res[hi]["wall_sec"]
+        merged[f"longlev_local{lo}"] = res[lo]
+        merged[f"longlev_local{hi}"] = res[hi]
+        merged[f"longlev_speedup_{lo}_to_{hi}"] = round(speed, 3)
+        merged[f"longlev_scaling_efficiency_{lo}_to_{hi}"] = round(speed / 4.0, 3)
+    path = REPO / "BENCH" / "scaling_latest.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data.update(merged)
+    path.write_text(json.dumps(data, indent=2))
+    print(json.dumps(merged, indent=2))
+    return merged
 
 
 def _burn(_seed: int) -> int:
