@@ -54,6 +54,57 @@ def streaming_entity_extract(pages_stream: DataFrame) -> DataFrame:
     return extract_entities(pages_stream)
 
 
+def streaming_sessionize(
+    events_stream: DataFrame, gap_sec: int = 1800
+) -> DataFrame:
+    """Custom stateful operator: per-user session counting over an
+    unbounded stream via ``applyInPandasWithState`` (the batch mirror
+    is harness.q_events_sessions, which is DuckDB-oracle-checked —
+    a bounded drain of this stream must agree with it).
+
+    State per user: (last event epoch, sessions so far, events so
+    far). Each micro-batch's rows are sorted and diffed VECTORIZED
+    (numpy) — the Arrow batch is the unit of Python work, never the
+    row. Emits one updated row per user per batch ("update" mode)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_ts double, n_sessions long, n_events long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = np.sort(pdf["ts"].astype("int64").to_numpy()) / 1e9
+            first_new = 1 if last_ts is None or ts[0] - last_ts > gap_sec else 0
+            n_sessions += first_new + int((np.diff(ts) > gap_sec).sum())
+            n_events += len(ts)
+            last_ts = float(ts[-1])
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_file_stream(
     df: DataFrame,
     output_dir: str,

@@ -69,6 +69,35 @@ def test_cascade_no_double_emit(spark):
     assert {(r.id_1, r.id_2) for r in rows} == {(1, 2)}
 
 
+def test_hot_block_cap_bounds_candidates(spark):
+    """A synthetic hot block (one birthdate+initials+soundex bucket)
+    must be refined by the default cap: the block key is extended with
+    soundex4(first) on both sides, bounding per-block pair counts
+    without losing same-phonetic-first recall."""
+    from name_matcher_spark.operators.fuzzy_join import candidates_bkey_cascade
+
+    bd = date(1985, 3, 3)
+    probe = _prep(spark, [(1, "u", "John", None, "Smith", bd, None)], False)
+    # 2000 build rows in ONE block (same year/initials/soundex(last)):
+    # half John (soundex J500, same as probe), half James (J520).
+    build = _prep(
+        spark,
+        [
+            (1000 + i, "v", "John" if i % 2 == 0 else "James", None, "Smith", bd, None)
+            for i in range(2000)
+        ],
+        False,
+    )
+    uncapped = candidates_bkey_cascade(probe, build, None).count()
+    capped = candidates_bkey_cascade(probe, build, 500).count()
+    assert uncapped == 2000
+    assert capped == 1000  # only the same-phonetic-first half remains
+    # and the e2e default (cap on) still recalls the true matches
+    out = match_fuzzy(probe, build, include_middle=False, max_block_rows=500)
+    ids = {r.id_2 for r in out.collect()}
+    assert ids == {1000 + i for i in range(2000) if i % 2 == 0}
+
+
 def _oracle_pairs(a_pd, b_pd, include_middle):
     """Pure-Python mirror of the reference pipeline: normalize_text on
     fields, birthdate-gated candidates, exact ladder semantics. Returns

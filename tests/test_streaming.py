@@ -12,9 +12,78 @@ from name_matcher_spark.streaming.events import (
     hourly_event_counts,
     run_file_stream,
     streaming_entity_extract,
+    streaming_sessionize,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer over a one-batch drain
+    must agree with the DuckDB-oracle-checked batch query."""
+    from name_matcher_spark import harness
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "se")
+    events.coalesce(1).write.parquet(src)  # one file -> one micro-batch
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT user_id, max(n_sessions) AS n_sessions, max(n_events) AS n_events "
+        "FROM sess_parity GROUP BY user_id"
+    )
+    expected = harness.q_events_sessions(spark, SF_DIR)
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0 and expected.count() > 0
+
+
+def test_streaming_sessionize_state_across_restarts(spark, tmp_path):
+    """State survives a checkpointed restart: a later event for the
+    same user past the gap opens a NEW session on the second drain."""
+    from datetime import datetime
+
+    rows1 = [(1, 101, datetime(2024, 1, 1, 0, 0, 0), "c", 1.0),
+             (1, 102, datetime(2024, 1, 1, 0, 5, 0), "c", 1.0)]
+    rows2 = [(1, 103, datetime(2024, 1, 1, 6, 0, 0), "c", 1.0)]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def write_batch(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return tuple(
+            spark.read.parquet(out)
+            .selectExpr("max(n_sessions)", "max(n_events)")
+            .collect()[0]
+        )
+
+    assert drain() == (1, 2)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    assert drain() == (2, 3)
 
 
 def test_hourly_stream_matches_batch(spark, tmp_path):
