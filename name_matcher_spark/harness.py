@@ -876,10 +876,68 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (hyperplane signatures; rows-only oracle)."""
+    """LSH-bucketed ANN. The hyperplanes are exact-binary-fraction
+    literals shared with the DuckDB oracle (same LCG), so the entire
+    path — signatures, bucket join, candidate re-rank — hash-checks."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
     return lsh_cosine_topk(emb, queries, dim=64, k=5, bits=8, tables=4)
+
+
+def _lsh_sql() -> str:
+    from .operators.simsearch import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42)
+
+    def sig_expr(t: int) -> str:
+        bits = []
+        for b in range(8):
+            arr = "[" + ",".join(repr(p) for p in planes[t][b]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+
+    def sigs(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT vec_id AS id, {t} AS tbl, {sig_expr(t)} AS sig FROM {src}"
+            for t in range(4)
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 53 = 0),
+csig AS (
+{sigs("e")}
+),
+qsig AS (
+{sigs("q")}
+),
+cand AS (
+  SELECT DISTINCT qs.id AS query_id, cs.id AS corpus_id
+  FROM csig cs JOIN qsig qs ON cs.tbl = qs.tbl AND cs.sig = qs.sig
+  WHERE cs.id <> qs.id
+),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+    round(list_dot_product(qe.v, ce.v)
+          / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+SIM_LSH_SQL = _lsh_sql()
 
 
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,9 +1016,10 @@ ORACLES: dict[str, str] = {
     "txt_fingerprint": TXT_FINGERPRINT_SQL,
     "txt_token_counts": TXT_TOKENS_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
-    # rows-only (non-SQL-expressible): lk_fuzzy_pairs (Double Metaphone),
-    # dd_simhash (xxhash64), sim_lsh_topk (seeded hyperplanes),
-    # mm_media_features (mapInPandas stub).
+    "sim_lsh_topk": SIM_LSH_SQL,
+    # rows-only (non-SQL-expressible): lk_fuzzy_pairs + lk_fuzzy_pairs_mid
+    # (Double Metaphone), dd_simhash (xxhash64), mm_media_features
+    # (mapInPandas stub), lk_run_summary (driver-side KPI assembly).
 }
 
 

@@ -84,9 +84,11 @@ def candidates_bkey_cascade(
     left = _prefixed(p1, "l_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
     right = _prefixed(p2, "r_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
     if max_block_rows:
-        left, right = _refine_hot_blocks(left, right, max_block_rows)
-        left = left.persist(StorageLevel.MEMORY_AND_DISK)
-        right = right.persist(StorageLevel.MEMORY_AND_DISK)
+        refined = _refine_hot_blocks(left, right, max_block_rows)
+        if refined is not None:
+            left, right = refined
+            left = left.persist(StorageLevel.MEMORY_AND_DISK)
+            right = right.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Branch 1: exact BKey. Left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -127,13 +129,21 @@ def candidates_bkey_cascade(
 
 def _refine_hot_blocks(
     left: DataFrame, right: DataFrame, max_block_rows: int
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame] | None:
     """Extend block_key with soundex4(first) inside oversized blocks.
 
     Build-side blocks with more than ``max_block_rows`` rows get the
     extra component on BOTH sides (hotness judged on the build side
     only, so the two sides agree). Bounds the per-block pair count
     without dropping data; residual skew is AQE's job.
+
+    Returns None when NO block is hot — the common case, detected with
+    one cheap aggregate over the cached narrow key table, so the
+    default-on cap costs near-zero on well-distributed inputs. When
+    blocks ARE hot, the phonetic UDF runs only on the hot slice
+    (split-and-union): a pandas UDF inside a when() is still evaluated
+    for every row, so the conditional form would pay the Python tax on
+    the whole table.
     """
     hot = (
         right.groupBy("r_block_key")
@@ -141,31 +151,22 @@ def _refine_hot_blocks(
         .filter(F.col("count") > max_block_rows)
         .select(F.col("r_block_key").alias("hot_key"))
     )
+    if not hot.limit(1).take(1):
+        return None
     hot_b = F.broadcast(hot)
 
-    right = (
-        right.join(hot_b, right["r_block_key"] == hot_b["hot_key"], "left")
-        .withColumn(
-            "r_block_key",
-            F.when(
-                F.col("hot_key").isNotNull(),
-                F.concat_ws("|", "r_block_key", soundex4_udf(F.col("r_first_name"))),
-            ).otherwise(F.col("r_block_key")),
+    def extend(df: DataFrame, prefix: str) -> DataFrame:
+        key, first = f"{prefix}block_key", f"{prefix}first_name"
+        flagged = df.join(hot_b, df[key] == hot_b["hot_key"], "left")
+        hot_rows = (
+            flagged.filter(F.col("hot_key").isNotNull())
+            .withColumn(key, F.concat_ws("|", key, soundex4_udf(F.col(first))))
+            .drop("hot_key")
         )
-        .drop("hot_key")
-    )
-    left = (
-        left.join(hot_b, left["l_block_key"] == hot_b["hot_key"], "left")
-        .withColumn(
-            "l_block_key",
-            F.when(
-                F.col("hot_key").isNotNull(),
-                F.concat_ws("|", "l_block_key", soundex4_udf(F.col("l_first_name"))),
-            ).otherwise(F.col("l_block_key")),
-        )
-        .drop("hot_key")
-    )
-    return left, right
+        cold_rows = flagged.filter(F.col("hot_key").isNull()).drop("hot_key")
+        return hot_rows.unionByName(cold_rows)
+
+    return extend(left, "l_"), extend(right, "r_")
 
 
 def _pair_output(scored: DataFrame) -> DataFrame:

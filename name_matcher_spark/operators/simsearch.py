@@ -74,6 +74,25 @@ def cosine_topk(
     )
 
 
+def lsh_hyperplanes(
+    dim: int, bits: int = 8, tables: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """planes[table][bit] = dim-length hyperplane. Deterministic LCG
+    from seed; every component is an exact binary fraction (k/2^48), so
+    the repr round-trips and the SAME literal planes can be embedded in
+    the DuckDB oracle SQL — the whole LSH path is then hash-checkable."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFFFFFFFFFF
+        return (state >> 16) / float(1 << 48) - 0.5
+
+    return [
+        [[nxt() for _ in range(dim)] for _ in range(bits)] for _ in range(tables)
+    ]
+
+
 def hyperplane_signatures(
     df: DataFrame,
     id_col: str,
@@ -84,25 +103,18 @@ def hyperplane_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, table, sig) — sign patterns against seeded pseudo-random
-    hyperplanes. Planes are deterministic (LCG from seed) and built
+    hyperplanes. Planes are deterministic (lsh_hyperplanes) and built
     driver-side as literal arrays; signature computation is JVM-only.
     """
-    state = seed & 0xFFFFFFFFFFFFFFFF
-
-    def nxt() -> float:
-        nonlocal state
-        state = (state * 1664525 + 1013904223) & 0xFFFFFFFFFFFFFFFF
-        return (state >> 16) / float(1 << 48) - 0.5
-
+    planes = lsh_hyperplanes(dim, bits, tables, seed)
     sig_cols = []
     for t in range(tables):
         bit_exprs = []
         for b in range(bits):
-            plane = [nxt() for _ in range(dim)]
             proj = F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(p) for p in plane]),
+                    F.array(*[F.lit(p) for p in planes[t][b]]),
                     lambda x, p: x.cast("double") * p,
                 ),
                 F.lit(0.0),
