@@ -759,9 +759,71 @@ WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.62
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64 has no DuckDB equivalent ->
-    rows-only)."""
-    return simhash_near_dupes(_docs(spark, sf_dir), k=4, max_hamming=3)
+    """SimHash near-dup pairs. Registered with the portable md5_60
+    hash (same operator code path: shingles -> bit sums -> sign ->
+    pigeonhole chunk join -> hamming verify) so the whole pipeline
+    hash-checks against DuckDB; production default stays xxhash64."""
+    out = simhash_near_dupes(
+        _docs(spark, sf_dir), k=4, max_hamming=3, hash_fn="md5_60"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_sql() -> str:
+    nbits = 60
+    digit = "strpos('0123456789abcdef', substr(h16, {j}, 1)) - 1"
+    h_terms = " + ".join(
+        f"CAST({digit.format(j=j + 1)} AS BIGINT) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    chunk_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS chunk, (simhash >> {i * 16}) & 65535 AS key FROM fp"
+        for i in range(4)
+    )
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+offsets AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 3)) AS i
+  FROM docs2 WHERE strlen(t) >= 4
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram FROM offsets
+),
+hashed AS (
+  SELECT doc_id, h16, {h_terms} AS h
+  FROM (SELECT doc_id, substr(md5(gram), 1, 15) AS h16 FROM grams)
+),
+sums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp_expr} AS simhash FROM sums),
+chunks AS (
+{chunk_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+DD_SIMHASH_SQL = _simhash_sql()
 
 
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,6 +1073,7 @@ ORACLES: dict[str, str] = {
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
+    "dd_simhash": DD_SIMHASH_SQL,
     "txt_quality": TXT_QUALITY_SQL,
     "txt_langid": TXT_LANGID_SQL,
     "txt_fingerprint": TXT_FINGERPRINT_SQL,

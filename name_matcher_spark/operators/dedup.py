@@ -180,26 +180,48 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash from xxhash64 of k-gram shingles, pure JVM.
+    """SimHash fingerprint from k-gram shingles, pure JVM.
 
-    For each of 64 bits: +1 if the shingle hash has the bit set else
-    -1; fingerprint bit = sign of the sum. Computed as 64 conditional
-    sums in ONE aggregation (map-side partial agg).
+    For each bit: +1 if the shingle hash has the bit set else -1;
+    fingerprint bit = sign of the sum. Computed as N conditional sums
+    in ONE aggregation (map-side partial agg).
+
+    hash_fn:
+      * ``xxhash64`` — production default (fastest JVM hash); 63 bits
+        (bit 63 is the sign bit; fingerprints stay positive).
+      * ``md5_60``   — 60 bits parsed from the first 15 hex chars of
+        md5(gram). Slower, but md5 exists in DuckDB with identical
+        output, so the ENTIRE simhash path (bit sums, sign, chunked
+        hamming join) becomes oracle-checkable. Same operator code
+        either way.
     """
-    sh = shingles(docs, id_col, text_col, k).withColumn(
-        "h", F.xxhash64(F.col("gram"))
-    )
+    sh = shingles(docs, id_col, text_col, k)
+    if hash_fn == "xxhash64":
+        sh = sh.withColumn("h", F.xxhash64(F.col("gram")))
+        nbits = 63
+    elif hash_fn == "md5_60":
+        # 15 hex chars = 60 bits, fits a signed long under ANSI casts.
+        sh = sh.withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+        )
+        nbits = 60
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; keep fingerprints positive
+        for b in range(nbits)
     ]
     sums = sh.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(nbits):
         fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
@@ -210,6 +232,7 @@ def simhash_near_dupes(
     text_col: str = "text",
     k: int = 4,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -217,7 +240,7 @@ def simhash_near_dupes(
     within hamming 3 agrees on at least one chunk), join per chunk,
     verify hamming via bit_count. Never all-pairs.
     """
-    fps = simhash64(docs, id_col, text_col, k)
+    fps = simhash64(docs, id_col, text_col, k, hash_fn=hash_fn)
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
