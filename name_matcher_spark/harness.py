@@ -1002,6 +1002,70 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 SIM_LSH_SQL = _lsh_sql()
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (corpus rows with
+    vec_id % 37 == 1 as centroids), nprobe=4, exact re-rank."""
+    from .operators.simsearch import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 53 == 0)
+    return ivf_cosine_topk(emb, queries, centroid_stride=37, nprobe=4, k=5)
+
+
+SIM_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 37 = 1),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 53 = 0),
+corpus_scored AS (
+  SELECT e.vec_id AS corpus_id, cent.cid,
+    1.0 - list_dot_product(e.v, cent.cvec)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS dist
+  FROM e CROSS JOIN cent
+),
+lists AS (
+  SELECT corpus_id, cid FROM (
+    SELECT corpus_id, cid,
+      row_number() OVER (PARTITION BY corpus_id ORDER BY dist, cid) AS r
+    FROM corpus_scored
+  ) WHERE r = 1
+),
+query_scored AS (
+  SELECT q.vec_id AS query_id, cent.cid,
+    1.0 - list_dot_product(q.v, cent.cvec)
+        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS dist
+  FROM q CROSS JOIN cent
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+      row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS r
+    FROM query_scored
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, lists.corpus_id
+  FROM lists JOIN probes ON lists.cid = probes.cid
+  WHERE lists.corpus_id <> probes.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+    round(list_dot_product(qe.v, ce.v)
+          / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize a binary media column from the
     documents table, run the mapInPandas feature extractor (fake
@@ -1052,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_token_counts": txt_token_counts,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "mm_media_features": mm_media_features,
 }
 
@@ -1080,6 +1145,7 @@ ORACLES: dict[str, str] = {
     "txt_token_counts": TXT_TOKENS_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
+    "sim_ivf_topk": SIM_IVF_SQL,
     # rows-only (non-SQL-expressible): lk_fuzzy_pairs + lk_fuzzy_pairs_mid
     # (Double Metaphone), dd_simhash (xxhash64), mm_media_features
     # (mapInPandas stub), lk_run_summary (driver-side KPI assembly).

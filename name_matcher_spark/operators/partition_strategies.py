@@ -48,3 +48,39 @@ def write_partitioned(df: DataFrame, path: str, strategy: str = "last_initial") 
     with_partition_key(df, strategy).write.mode("overwrite").partitionBy(
         "part_key"
     ).parquet(path)
+
+
+def salted_repartition(
+    df: DataFrame, key_col: str, salt_buckets: int, salt_col: str = "_salt"
+) -> DataFrame:
+    """Hot-key defusal for a skewed shuffle (north rule: "salted
+    repartitioning to defuse hot keys").
+
+    Appends a deterministic salt in [0, salt_buckets) — a hash of the
+    whole row's key columns plus a per-row discriminator if present —
+    and repartitions on (key, salt), so one giant key spreads over
+    ``salt_buckets`` tasks instead of one straggler. Deterministic
+    (xxhash64 of the row contents, no rand()) so re-runs produce the
+    same physical placement and checkpoint lineage stays stable.
+
+    Use for skewed AGGREGATIONS (partial-agg per salt then final
+    merge) or skewed WRITES; for skewed JOINS prefer the block-key
+    refinement in fuzzy_join (extends the key semantically) or AQE
+    skew-join splitting — salting a join key requires exploding the
+    other side by salt_buckets, which this helper deliberately does
+    not hide."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    out = df.withColumn(salt_col, salt.cast("int"))
+    return out.repartition(F.col(key_col), F.col(salt_col))
+
+
+def salted_count(
+    df: DataFrame, key_col: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-phase skew-safe groupBy count: partial count per (key,
+    salt), then merge per key. Same result as groupBy(key).count(),
+    but the heaviest key costs at most 1/salt_buckets of itself per
+    task in phase 1."""
+    salted = salted_repartition(df, key_col, salt_buckets)
+    partial = salted.groupBy(key_col, "_salt").count()
+    return partial.groupBy(key_col).agg(F.sum("count").alias("count"))

@@ -129,6 +129,88 @@ def hyperplane_signatures(
     ).select(id_col, F.col("s.table").alias("table"), F.col("s.sig").alias("sig"))
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> inverted lists -> probe ->
+    exact re-rank. The scale path when LSH bucket sizes are unruly.
+
+    Centroids are a deterministic sample of the corpus itself
+    (vec_id % centroid_stride == 1) — no iterative k-means, no RNG, so
+    the whole operator is oracle-expressible. Assignment is a
+    broadcast join (centroid set is tiny) + min_by struct argmin;
+    queries probe their nprobe nearest lists; candidates re-rank with
+    exact cosine. Corpus is scanned once for assignment and never
+    shuffled except by inverted-list id."""
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def scored_vs_centroids(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("v")
+        ).join(F.broadcast(cent), how="cross").select(
+            out_id,
+            "cid",
+            (
+                F.lit(1.0)
+                - _dot(F.col("v"), F.col("cvec"))
+                / (_norm(F.col("v")) * _norm(F.col("cvec")))
+            ).alias("dist"),
+        )
+
+    # Corpus assignment: min(struct) aggregation, NOT a window — the
+    # partial agg combines map-side so the xC expansion never crosses
+    # the shuffle (a window would shuffle corpus x C rows).
+    lists = (
+        scored_vs_centroids(corpus, "corpus_id")
+        .groupBy("corpus_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("corpus_id", F.col("m.cid").alias("cid"))
+    )
+    # Query probes: tiny side, window top-nprobe is fine.
+    qs = scored_vs_centroids(queries, "query_id")
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        qs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cid")
+    )
+    cand = (
+        lists.join(probes, "cid")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -75,6 +75,28 @@ def test_lsh_recall_on_near_duplicates(spark):
     assert any(r.corpus_id == 2 and r.rank == 1 for r in got)
 
 
+def test_ivf_recall_on_near_duplicates(spark):
+    """A near-duplicate of the query lands in the same inverted list
+    and is ranked first; the plan stays JVM-only."""
+    import random
+
+    from name_matcher_spark.operators.simsearch import ivf_cosine_topk
+
+    random.seed(7)
+    base = [random.uniform(-1, 1) for _ in range(64)]
+    near = [x + random.uniform(-0.01, 0.01) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(3, 120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1)
+    got = ivf_cosine_topk(df, q, centroid_stride=11, nprobe=3, k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows_out = got.collect()
+    assert any(r.corpus_id == 2 and r.rank == 1 for r in rows_out)
+
+
 def test_multimodal_stub(spark):
     import pandas as pd
 
