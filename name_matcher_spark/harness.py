@@ -1374,14 +1374,47 @@ FROM pairs
 
 def lk_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-level KPI table (csv_export.rs:155-227) over algo1 pairs.
-
-    Driver-side collects inside run_summary make this rows-only."""
+    run_summary is fully distributed (stack-melted single-row aggs),
+    so the whole KPI assembly hash-checks against a DuckDB mirror."""
     from .sources.export import run_summary
 
     pa_raw = persons_a(spark, sf_dir)
     pb_raw = persons_b(spark, sf_dir)
     pairs = match_algo1(prepare_persons(pa_raw), prepare_persons(pb_raw))
     return run_summary(pa_raw, pb_raw, pairs, threshold=0.95)
+
+
+LK_RUN_SUMMARY_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+pairs AS (
+  SELECT a.id AS id_1, b.id AS id_2
+  FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_pairs,
+         CAST(count(DISTINCT id_1) AS DOUBLE) AS m1,
+         CAST(count(DISTINCT id_2) AS DOUBLE) AS m2
+  FROM pairs
+),
+t1 AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM pa),
+t2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM pb),
+one AS (SELECT * FROM t1, t2, stats)
+SELECT 'table1_rows' AS metric, n1 AS value FROM one
+UNION ALL SELECT 'table2_rows', n2 FROM one
+UNION ALL SELECT 'matched_pairs', n_pairs FROM one
+UNION ALL SELECT 'matched_persons_t1', m1 FROM one
+UNION ALL SELECT 'matched_persons_t2', m2 FROM one
+UNION ALL SELECT 'unmatched_t1', n1 - m1 FROM one
+UNION ALL SELECT 'unmatched_t2', n2 - m2 FROM one
+UNION ALL SELECT 'unmatched_rate_t1',
+  CASE WHEN n1 > 0 THEN round(1.0 - m1 / n1, 6) ELSE 0.0 END FROM one
+UNION ALL SELECT 'unmatched_rate_t2',
+  CASE WHEN n2 > 0 THEN round(1.0 - m2 / n2, 6) ELSE 0.0 END FROM one
+UNION ALL SELECT 'case_algo1', n_pairs FROM one
+"""
 
 
 QUERIES.update(
@@ -1401,6 +1434,6 @@ ORACLES.update(
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,
-        # lk_run_summary: rows-only (driver-side KPI assembly).
+        "lk_run_summary": LK_RUN_SUMMARY_SQL,
     }
 )

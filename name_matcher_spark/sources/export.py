@@ -68,39 +68,43 @@ def run_summary(
 ) -> DataFrame:
     """KPI table (metric, value) mirroring the reference summary:
     table totals, matched-pair count, distinct matched persons per
-    side, unmatched counts/rates, per-case breakdown."""
-    spark = t1.sparkSession
-    n1, n2 = t1.count(), t2.count()
-    # One cached pass over the (expensive) pairs pipeline: the scalar
-    # KPIs come from a single agg job, the per-case breakdown from one
-    # more — previously each distinct()/count() re-ran the whole
-    # upstream matching job (5 full jobs instead of 2).
-    kept = pairs.filter(F.col("confidence") >= threshold).persist()
-    try:
-        totals = kept.agg(
-            F.count("*").alias("n_pairs"),
-            F.countDistinct("id_1").alias("m1"),
-            F.countDistinct("id_2").alias("m2"),
-        ).collect()[0]
-        n_pairs, m1, m2 = totals["n_pairs"], totals["m1"], totals["m2"]
-        per_case = {
-            r["match_case"]: r["count"]
-            for r in kept.groupBy("match_case").count().collect()
-        }
-    finally:
-        kept.unpersist()
-    rows = [
-        ("table1_rows", float(n1)),
-        ("table2_rows", float(n2)),
-        ("matched_pairs", float(n_pairs)),
-        ("matched_persons_t1", float(m1)),
-        ("matched_persons_t2", float(m2)),
-        ("unmatched_t1", float(n1 - m1)),
-        ("unmatched_t2", float(n2 - m2)),
-        ("unmatched_rate_t1", round(1 - m1 / n1, 6) if n1 else 0.0),
-        ("unmatched_rate_t2", round(1 - m2 / n2, 6) if n2 else 0.0),
-    ] + [(f"case_{k.replace(' ', '_').lower()}", float(v)) for k, v in sorted(per_case.items())]
-    return spark.createDataFrame(rows, "metric string, value double")
+    side, unmatched counts/rates, per-case breakdown.
+
+    Fully distributed and LAZY — no driver-side collect anywhere (the
+    round-1 version triggered five full upstream jobs). The scalar
+    KPIs are one aggregate per input crossed into a single row, melted
+    to (metric, value) via stack; the per-case breakdown unions in."""
+    kept = pairs.filter(F.col("confidence") >= threshold)
+    stats = kept.agg(
+        F.count("*").cast("double").alias("n_pairs"),
+        F.countDistinct("id_1").cast("double").alias("m1"),
+        F.countDistinct("id_2").cast("double").alias("m2"),
+    )
+    n1 = t1.agg(F.count("*").cast("double").alias("n1"))
+    n2 = t2.agg(F.count("*").cast("double").alias("n2"))
+    one = n1.crossJoin(n2).crossJoin(stats)
+    scalar = one.select(
+        F.expr(
+            "stack(9,"
+            " 'table1_rows', n1,"
+            " 'table2_rows', n2,"
+            " 'matched_pairs', n_pairs,"
+            " 'matched_persons_t1', m1,"
+            " 'matched_persons_t2', m2,"
+            " 'unmatched_t1', n1 - m1,"
+            " 'unmatched_t2', n2 - m2,"
+            " 'unmatched_rate_t1', CASE WHEN n1 > 0 THEN round(1.0 - m1 / n1, 6) ELSE 0.0 END,"
+            " 'unmatched_rate_t2', CASE WHEN n2 > 0 THEN round(1.0 - m2 / n2, 6) ELSE 0.0 END"
+            ") AS (metric, value)"
+        )
+    )
+    per_case = kept.groupBy("match_case").count().select(
+        F.concat(
+            F.lit("case_"), F.lower(F.regexp_replace("match_case", " ", "_"))
+        ).alias("metric"),
+        F.col("count").cast("double").alias("value"),
+    )
+    return scalar.unionByName(per_case)
 
 
 def algo_overlap_stats(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:

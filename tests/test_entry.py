@@ -32,8 +32,7 @@ def test_registry_consistency():
     # every non-oracle query is one of the documented non-SQL ops
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid",
-        "mm_media_features", "lk_run_summary",
+        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "mm_media_features",
     }
 
 
