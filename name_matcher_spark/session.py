@@ -50,9 +50,14 @@ def get_spark(
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     pythonpath = _ensure_pythonpath()
 
+    builder = SparkSession.builder.appName(app_name)
+    # master="inherit": do NOT set a master — the job was launched via
+    # `spark-submit --master ...` and must respect the cluster manager
+    # chosen there (tools/submit_job.py uses this).
+    if master != "inherit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # Adaptive execution: runtime broadcast decisions, partition
         # coalescing, and skew-join splitting (hot blocking keys).
         .config("spark.sql.adaptive.enabled", "true")
@@ -82,8 +87,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if jar:
-        _register_jvm_udfs(spark)
+    # Always attempt JVM-kernel registration: the class may come from
+    # the locally-built jar OR from `spark-submit --jars` (where the
+    # tools/ build helper isn't shipped). Both failures are caught and
+    # flip the pandas-UDF fallback flags.
+    _register_jvm_udfs(spark)
     return spark
 
 

@@ -1,0 +1,98 @@
+"""North-rule deployment contract: the pipeline runs under a REAL
+`spark-submit --py-files nms.zip --jars nms-udfs.jar` invocation, with
+the package importable only from the zip (no repo on PYTHONPATH), and
+resumes from its stage checkpoints on a second submit.
+
+This is the closest a single-box sandbox gets to the reference rule's
+"run via spark-submit --py-files on multi-executor clusters": the same
+artifacts (zip + jar + job script) submit unchanged to a real master.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _spark_submit() -> str:
+    # Use the spark-submit bundled with the installed pyspark so driver
+    # and framework versions always agree.
+    import pyspark
+
+    cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    return str(cand) if cand.exists() else "spark-submit"
+
+
+def _write_pages(tmp: Path) -> tuple[Path, Path]:
+    from name_matcher_spark.fixtures.pages import make_pages
+    from name_matcher_spark.fixtures.persons import make_dirty
+
+    a, b, _ = make_dirty(150, seed=77)
+    pa, pb = tmp / "pages_a.parquet", tmp / "pages_b.parquet"
+    for df, path in ((make_pages(a, "a"), pa), (make_pages(b, "b"), pb)):
+        # pandas defaults to nanosecond parquet timestamps, which
+        # Spark's reader rejects; crawl timestamps are micros.
+        df.to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+    return pa, pb
+
+
+def _submit(tmp: Path, zip_path: Path, extra: list[str]) -> dict:
+    jar = REPO / "name_matcher_spark" / "javaudf" / "nms-udfs.jar"
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--py-files", str(zip_path),
+        *( ["--jars", str(jar)] if jar.exists() else [] ),
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        str(REPO / "tools" / "submit_job.py"),
+        "--work-dir", str(tmp / "ckpt"),
+        "--out", str(tmp / "out"),
+        *extra,
+    ]
+    # Strip the repo from the environment: the driver and executors
+    # must resolve name_matcher_spark from the zip alone.
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        cmd, cwd=tmp, env=env, capture_output=True, text=True, timeout=420
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')]
+    assert lines, f"no summary line in stdout:\n{proc.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build
+
+    zip_path = build(str(tmp_path / "nms.zip"))
+    pa, pb = _write_pages(tmp_path)
+    extra = ["--pages-a", str(pa), "--pages-b", str(pb), "--threshold", "0.95"]
+
+    summary = _submit(tmp_path, zip_path, extra)
+    assert summary["stages"]["pairs_fuzzy"] > 0
+    assert summary["stages"]["clusters"] > 0
+    assert summary["n_partitions"] >= 1
+    assert summary["score_histogram"], "manifest must carry the score histogram"
+    for stage in ("pairs_fuzzy", "households", "clusters"):
+        assert (tmp_path / "out" / f"{stage}.parquet" / "_SUCCESS").exists()
+
+    # Second submit resumes from checkpoints: identical outputs, and the
+    # pairs_fuzzy manifest mtime is untouched (stage skipped, not rerun).
+    manifest = tmp_path / "ckpt" / "pairs_fuzzy.manifest.json"
+    mtime = manifest.stat().st_mtime_ns
+    summary2 = _submit(tmp_path, zip_path, extra)
+    assert summary2["stages"] == summary["stages"]
+    assert manifest.stat().st_mtime_ns == mtime

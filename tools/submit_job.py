@@ -1,0 +1,104 @@
+"""Production entry point for the linkage pipeline under spark-submit.
+
+This is the deployment path the north rule prescribes — the package is
+shipped as a zip, the JVM scoring kernel as a jar, and the job inherits
+whatever cluster manager spark-submit was pointed at:
+
+    python tools/make_pyfiles_zip.py nms.zip
+    spark-submit --master <cluster> \
+        --py-files nms.zip \
+        --jars name_matcher_spark/javaudf/nms-udfs.jar \
+        tools/submit_job.py \
+        --pages-a pages_a.parquet --pages-b pages_b.parquet \
+        --work-dir /shared/ckpt --out /shared/out
+
+Inputs are parquet tables of either shape:
+  * pages  (url, warc_ts, html, text, lang)  -> extraction runs first
+  * persons (uuid/id, first_name, middle_name, last_name, birthdate, ...)
+
+Every stage (extract, prepare, blocked fuzzy scoring, households,
+clusters) checkpoints to --work-dir with a lineage manifest
+(per-partition row counts + confidence histogram), so a killed run
+resumes from the last completed stage. Final outputs land under --out
+and a one-line JSON summary is printed for the submitting harness.
+
+Mirrors the reference's CLI flow (src/bin/cli.rs) re-expressed as a
+spark-submit job; resumability contract from src/util/checkpoint.rs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_argument_group("input (exactly one pair)")
+    src.add_argument("--pages-a", help="parquet of web pages, side A")
+    src.add_argument("--pages-b", help="parquet of web pages, side B")
+    src.add_argument("--persons-a", help="parquet of person rows, side A")
+    src.add_argument("--persons-b", help="parquet of person rows, side B")
+    ap.add_argument("--work-dir", required=True, help="checkpoint root")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--include-middle", action="store_true",
+                    help="Algorithm 3/4 semantics (middle-name rules)")
+    ap.add_argument("--threshold", type=float, default=0.95)
+    ap.add_argument("--max-block-rows", type=int, default=10_000)
+    ap.add_argument("--stages", default="pairs_fuzzy,households,clusters")
+    ap.add_argument("--force", action="store_true",
+                    help="ignore existing checkpoints")
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    if bool(args.pages_a) == bool(args.persons_a) or bool(args.pages_a) != bool(args.pages_b):
+        raise SystemExit("need exactly one of --pages-a/--pages-b or --persons-a/--persons-b (both sides)")
+
+    from name_matcher_spark.plans.pipeline import LinkageConfig, run_linkage
+    from name_matcher_spark.session import get_spark
+
+    # "inherit": respect spark-submit's --master / cluster manager.
+    spark = get_spark(app_name="nms-linkage", master="inherit")
+    t0 = time.time()
+
+    kwargs = {}
+    if args.pages_a:
+        kwargs["pages_a"] = spark.read.parquet(args.pages_a)
+        kwargs["pages_b"] = spark.read.parquet(args.pages_b)
+    else:
+        kwargs["persons_a"] = spark.read.parquet(args.persons_a)
+        kwargs["persons_b"] = spark.read.parquet(args.persons_b)
+
+    cfg = LinkageConfig(
+        include_middle=args.include_middle,
+        max_block_rows=args.max_block_rows,
+        fuzzy_threshold=args.threshold,
+        household_threshold=args.threshold,
+        cluster_threshold=args.threshold,
+        stages=tuple(s.strip() for s in args.stages.split(",") if s.strip()),
+    )
+    result = run_linkage(spark, args.work_dir, config=cfg, force=args.force, **kwargs)
+
+    summary: dict = {"metric": "submit_job", "stages": {}, "out": args.out}
+    for name in ("pairs_fuzzy", "households", "clusters"):
+        if name not in result:
+            continue
+        path = f"{args.out.rstrip('/')}/{name}.parquet"
+        result[name].write.mode("overwrite").parquet(path)
+        summary["stages"][name] = spark.read.parquet(path).count()
+
+    from name_matcher_spark.sources.checkpoint import StageCheckpoint
+
+    manifest = StageCheckpoint(spark, args.work_dir).manifest("pairs_fuzzy")
+    summary["score_histogram"] = manifest.get("score_histogram", {})
+    summary["n_partitions"] = len(manifest.get("partitions", []))
+    summary["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
