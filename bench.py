@@ -106,16 +106,20 @@ def main() -> None:
     cluster_pairs(match_fuzzy(wpa, wpb, include_middle=False)).count()
     spark.catalog.clearCache()
 
-    # min-of-2 per query: the sandbox host shows bursty steal time
-    # (±50% on identical runs); the min is the least-noise estimate.
-    # Each pass is timed standalone — caches a query pinned are dropped
-    # before the next (left in place, the e2e pipelines' persisted
-    # tables inflate every later query via executor memory pressure).
+    # min-of-k per query: the sandbox host shows bursty steal time
+    # (observed 15s..56s on IDENTICAL e2e runs in one session); the min
+    # is the least-noise estimate. The two e2e pipelines get an extra
+    # pass — they're the headline numbers and the longest exposure to a
+    # steal burst. Each pass is timed standalone — caches a query
+    # pinned are dropped before the next (left in place, the e2e
+    # pipelines' persisted tables inflate every later query via
+    # executor memory pressure).
     times: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     for name, fn in BENCH_QUERIES.items():
+        passes = 3 if name.endswith("e2e") else 2
         best = float("inf")
-        for _ in range(2):
+        for _ in range(passes):
             t0 = time.time()
             n_rows[name] = fn(spark, sf_dir).count()
             best = min(best, round(time.time() - t0, 3))

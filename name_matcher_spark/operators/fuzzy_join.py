@@ -207,6 +207,20 @@ def match_fuzzy(
     splits the shuffle but cannot cap the pair count inside a block.
     Pass None only for small, trusted inputs.
     """
+    # The prepared tables are consumed twice (narrow key projection +
+    # wide payload join); unpersisted, the Python-UDF prepare chain
+    # (normalize ×3 + metaphone + soundex) would run twice per side.
+    # Persist on the caller's behalf unless they already did — at scale
+    # this is the standard "materialize the prepared table once"
+    # discipline (MEMORY_AND_DISK: spills, never recomputes Python).
+    def _pin(df: DataFrame) -> DataFrame:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return df
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    p1, p2 = _pin(p1), _pin(p2)
+
     if blocking == "birthdate":
         cands = candidates_birthdate(p1, p2)
     elif blocking == "bkey_cascade":
