@@ -1263,6 +1263,38 @@ def wp_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wp_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming linkage: side-A pages drained as a file
+    stream in micro-batches, fuzzy-matched per batch against the pinned
+    side-B corpus (streaming/linkage.py). Must equal the one-shot batch
+    fuzzy pipeline pair-for-pair; the fuzzy ladder keeps it rows-only
+    (no SQL metaphone), and the batch twin lk_fuzzy_pairs guards the
+    scoring semantics."""
+    import tempfile
+
+    from .streaming.linkage import incremental_linkage
+
+    work = tempfile.mkdtemp(prefix="wp_stream_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pages = _persons_to_pages(persons_a(spark, sf_dir), "a")
+    # Two files -> at least two micro-batches with maxFilesPerTrigger=1.
+    pages.repartition(2).write.parquet(src)
+    ref = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
+    q = incremental_linkage(
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        ref,
+        out,
+        ck,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+    )
+
+
 def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vs A2 pair-set overlap (main.rs:599-605)."""
     from .sources.export import algo_overlap_stats
@@ -1421,6 +1453,7 @@ QUERIES.update(
     {
         "wp_extract_entities": wp_extract_entities,
         "wp_linkage_pairs": wp_linkage_pairs,
+        "wp_stream_linkage": wp_stream_linkage,
         "lk_overlap_stats": lk_overlap_stats,
         "lk_partition_hist": lk_partition_hist,
         "lk_date_similarity": lk_date_similarity,

@@ -72,23 +72,38 @@ def candidates_birthdate(p1: DataFrame, p2: DataFrame) -> DataFrame:
 
 
 def candidates_bkey_cascade(
-    p1: DataFrame, p2: DataFrame, max_block_rows: int | None = None
+    p1: DataFrame,
+    p2: DataFrame,
+    max_block_rows: int | None = None,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(l_id, r_id) candidate pairs from the three prioritized block
-    branches, computed over narrow key tables."""
+    branches, computed over narrow key tables.
+
+    ``pins`` (optional): every DataFrame this call persists is appended
+    so long-lived callers (streaming micro-batches) can unpersist after
+    materializing — otherwise cache entries accumulate per call.
+    """
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if pins is not None:
+            pins.append(df)
+        return df
+
     # Persist the narrow tables BEFORE anything consumes them: every
     # downstream use (hot-key count, three join branches, broadcasts)
     # must read the cache, not re-run the normalization UDF chain — at
     # high parallelism those recomputations run as concurrent Python
     # stages and oversubscribe the executor cores.
-    left = _prefixed(p1, "l_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
-    right = _prefixed(p2, "r_", _KEY_COLS).persist(StorageLevel.MEMORY_AND_DISK)
+    left = _persist(_prefixed(p1, "l_", _KEY_COLS))
+    right = _persist(_prefixed(p2, "r_", _KEY_COLS))
     if max_block_rows:
         refined = _refine_hot_blocks(left, right, max_block_rows)
         if refined is not None:
             left, right = refined
-            left = left.persist(StorageLevel.MEMORY_AND_DISK)
-            right = right.persist(StorageLevel.MEMORY_AND_DISK)
+            left = _persist(left)
+            right = _persist(right)
 
     # Branch 1: exact BKey. Left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -195,6 +210,7 @@ def match_fuzzy(
     include_middle: bool,
     blocking: str = "bkey_cascade",
     max_block_rows: int | None = 10_000,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Algorithm 3 (include_middle=True) / 4 (False): candidates ->
     payload join -> birthdate gate -> fuzzy ladder -> matched pairs.
@@ -206,6 +222,10 @@ def match_fuzzy(
     birthdate + initials) otherwise goes quadratic at crawl scale — AQE
     splits the shuffle but cannot cap the pair count inside a block.
     Pass None only for small, trusted inputs.
+
+    ``pins`` collects every DataFrame this call persists (inputs it
+    pinned + internal key tables) so repeat callers — streaming
+    micro-batches — can unpersist once the result is materialized.
     """
     # The prepared tables are consumed twice (narrow key projection +
     # wide payload join); unpersisted, the Python-UDF prepare chain
@@ -217,14 +237,17 @@ def match_fuzzy(
         lvl = df.storageLevel
         if lvl.useMemory or lvl.useDisk:
             return df
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if pins is not None:
+            pins.append(df)
+        return df
 
     p1, p2 = _pin(p1), _pin(p2)
 
     if blocking == "birthdate":
         cands = candidates_birthdate(p1, p2)
     elif blocking == "bkey_cascade":
-        cands = candidates_bkey_cascade(p1, p2, max_block_rows)
+        cands = candidates_bkey_cascade(p1, p2, max_block_rows, pins=pins)
     else:
         raise ValueError(f"unknown blocking strategy: {blocking}")
 

@@ -33,6 +33,7 @@ def test_registry_consistency():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "mm_media_features",
+        "wp_stream_linkage",
     }
 
 
