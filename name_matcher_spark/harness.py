@@ -716,6 +716,48 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 DD_MINHASH_SQL = _minhash_sql()
 
 
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates -> transitive dup clusters -> canonical
+    doc per cluster (longest text, ties to min id) — the keep-one step
+    of a dedup pipeline, checked against a DuckDB recursive CTE over
+    the IDENTICAL (portable-md5) candidate pairs."""
+    from .operators.dedup import dedup_clusters, minhash_lsh_candidates
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(d, k=5, num_hashes=8, bands=4)
+    return dedup_clusters(d, pairs)
+
+
+DD_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE cand AS (
+  SELECT * FROM ({DD_MINHASH_SQL})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+member AS (
+  SELECT c.node, c.cluster_id,
+         strlen(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT node AS doc_id, cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  (row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, node ASC) = 1)
+    AS is_canonical
+FROM member
+"""
+
+
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered as the SCALE variant: stop-gram cut (max_doc_freq)
     bounds the gram equi-join fan-out; the DuckDB oracle mirrors the
@@ -1108,6 +1150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_clusters_bigstar": lk_clusters_bigstar,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
+    "dd_dup_clusters": dd_dup_clusters,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
     "txt_quality": txt_quality,
@@ -1137,6 +1180,7 @@ ORACLES: dict[str, str] = {
     "lk_clusters_bigstar": LK_CLUSTERS_SQL,
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,
+    "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
     "dd_simhash": DD_SIMHASH_SQL,
     "txt_quality": TXT_QUALITY_SQL,

@@ -272,3 +272,58 @@ def simhash_near_dupes(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "propagate",
+) -> DataFrame:
+    """Near-duplicate clusters with canonical selection — the "keep
+    one" step of a training-data dedup pipeline.
+
+    Candidate pairs from any tier (minhash/simhash/jaccard) become an
+    undirected graph; connected components give transitive dup groups
+    (doc A ~ B ~ C collapses even when A and C never paired); the
+    canonical survivor per cluster is the LONGEST normalized text,
+    ties to the smallest id. Returns one row per clustered doc:
+    (id_col, cluster_id, cluster_size, is_canonical). Docs in no pair
+    are implicitly canonical and not returned.
+
+    Scale: the component step is the same O(diameter) propagation /
+    O(log n) bigstar used for entity clusters; canonical selection is
+    one window over cluster_id — clusters are tiny relative to the
+    corpus, so no skew concern beyond what AQE handles.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import connected_components, connected_components_bigstar
+
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    if method == "bigstar":
+        comp = connected_components_bigstar(edges)
+    elif method == "propagate":
+        comp = connected_components(edges)
+    else:
+        raise ValueError(f"unknown clustering method: {method}")
+
+    lens = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.length(_norm_text(F.col(text_col))).alias("n_chars"),
+    )
+    member = comp.join(lens, "node")
+    by_cluster = Window.partitionBy("cluster_id")
+    pick = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    return member.select(
+        F.col("node").alias(id_col),
+        F.col("cluster_id"),
+        F.count("*").over(by_cluster).alias("cluster_size"),
+        (F.row_number().over(pick) == 1).alias("is_canonical"),
+    )

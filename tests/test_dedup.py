@@ -77,3 +77,31 @@ def test_simhash_identical_and_near(docs):
 def test_simhash_plan_is_jvm_only(docs):
     plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_clusters_transitive_and_canonical(spark):
+    from name_matcher_spark.operators.dedup import dedup_clusters
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta"),  # longest -> canonical
+            (3, "alpha beta"),
+            (4, "unrelated text entirely"),
+            (5, "other island"),
+            (6, "other island"),
+        ],
+        "doc_id long, text string",
+    )
+    # A~B and B~C but never A~C: transitivity must merge all three.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    for method in ("propagate", "bigstar"):
+        rows = {r.doc_id: r for r in dedup_clusters(d, pairs, method=method).collect()}
+        assert set(rows) == {1, 2, 3, 5, 6}  # doc 4 untouched
+        assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id
+        assert rows[1].cluster_size == 3
+        assert [i for i in (1, 2, 3) if rows[i].is_canonical] == [2]
+        # equal-length tie in the 5~6 cluster -> min id wins
+        assert rows[5].is_canonical and not rows[6].is_canonical
