@@ -493,6 +493,19 @@ def lk_fuzzy_pairs_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
 
 
+def lk_algo7_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm 7 (deprecated in the reference; shipped for surface
+    completeness): ±1-year banded blocking + 0.7·name + 0.3·date
+    composite. Metaphone in the name ladder keeps it rows-only; the
+    composite arithmetic is differential-tested in tests/test_algo7.py."""
+    from .operators.fuzzy_join import match_algo7
+
+    pa = prepare_persons(persons_a(spark, sf_dir), include_middle=False)
+    pb = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
+    out = match_algo7(pa, pb)
+    return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+
+
 def lk_household_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Option-5 household aggregation over algo1 pairs."""
     pa_raw = persons_a(spark, sf_dir)
@@ -1144,6 +1157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_lev_jw_scores": lk_lev_jw_scores,
     "lk_fuzzy_pairs": lk_fuzzy_pairs,
     "lk_fuzzy_pairs_mid": lk_fuzzy_pairs_mid,
+    "lk_algo7_pairs": lk_algo7_pairs,
     "lk_household_pct": lk_household_pct,
     "lk_household_pct_opt6": lk_household_pct_opt6,
     "lk_clusters": lk_clusters,

@@ -184,6 +184,139 @@ def _refine_hot_blocks(
     return extend(left, "l_"), extend(right, "r_")
 
 
+def candidates_algo7(
+    p1: DataFrame, p2: DataFrame, pins: list[DataFrame] | None = None
+) -> DataFrame:
+    """Algorithm-7 candidate pairs (mod.rs:1151-1221): the reference's
+    deprecated fuzzy-birthdate blocking. Per probe row:
+
+      1. exact BKey(year, fi, li, sx)
+      2. if 1 empty: (year, '?', li, sx) — build rows w/ no alpha first
+      3. UNCONDITIONALLY: (year±1, fi, li, sx) — the range-join part,
+         realized Spark-first by exploding each probe into its two
+         neighbor years and equi-joining (banding, not a theta-join:
+         the shuffle stays a hash join on the composite key)
+      4. if 1-3 all empty: (year, fi, li, coarse sx) — probe's soundex
+         with digits 3-4 zeroed equals the build row's FULL soundex
+
+    Branches are provably disjoint (different year or a probe set the
+    earlier branches left empty), so no dedup pass is needed — same
+    invariant the reference gets from its per-probe HashSet.
+    """
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if pins is not None:
+            pins.append(df)
+        return df
+
+    left = _persist(_prefixed(p1, "l_", _KEY_COLS))
+    right = _persist(_prefixed(p2, "r_", _KEY_COLS))
+
+    # 1. exact key, left-outer so unmatched probes feed branch 2.
+    j1 = left.join(
+        right, F.col("l_block_key") == F.col("r_block_key"), "left_outer"
+    )
+    b1 = j1.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
+    left2 = j1.filter(F.col("r_id").isNull()).select(*left.columns)
+
+    # 2. '?' first-initial fallback for probes branch 1 left empty.
+    right_q = right.filter(F.col("r_first_initial") == "?")
+    j2 = left2.join(
+        right_q,
+        (F.col("l_birth_year") == F.col("r_birth_year"))
+        & (F.col("l_last_initial") == F.col("r_last_initial"))
+        & (F.col("l_sx_last") == F.col("r_sx_last")),
+        "left_outer",
+    )
+    b2 = j2.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
+    left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
+
+    # 3. ±1 year for EVERY probe (not a fallback): band the range.
+    banded = left.withColumn(
+        "l_by_adj",
+        F.explode(F.array(F.col("l_birth_year") - 1, F.col("l_birth_year") + 1)),
+    )
+    bpm = banded.join(
+        right,
+        (F.col("l_by_adj") == F.col("r_birth_year"))
+        & (F.col("l_first_initial") == F.col("r_first_initial"))
+        & (F.col("l_last_initial") == F.col("r_last_initial"))
+        & (F.col("l_sx_last") == F.col("r_sx_last")),
+        "inner",
+    ).select("l_id", "r_id")
+
+    # 4. coarse soundex, only for probes with NOTHING from 1-3.
+    left4 = left3.join(bpm.select("l_id").distinct(), "l_id", "left_anti")
+    coarse = F.concat(F.substring(F.col("l_sx_last"), 1, 2), F.lit("00"))
+    b4 = left4.join(
+        right,
+        (F.col("l_birth_year") == F.col("r_birth_year"))
+        & (F.col("l_first_initial") == F.col("r_first_initial"))
+        & (F.col("l_last_initial") == F.col("r_last_initial"))
+        & (coarse == F.col("r_sx_last")),
+        "inner",
+    ).select("l_id", "r_id")
+
+    return b1.unionByName(b2).unionByName(bpm).unionByName(b4)
+
+
+def match_algo7(
+    p1: DataFrame, p2: DataFrame, pins: list[DataFrame] | None = None
+) -> DataFrame:
+    """Algorithm 7 — fuzzy names (no middle) + fuzzy birthdate
+    (compare_persons_algo7_no_mid, mod.rs:1139-1149). DEPRECATED in the
+    reference (mod.rs:933-936; main.rs:169 rejects it) but shipped here
+    for surface completeness: both birthdates non-null (no equality
+    gate), name score from the standard no-middle ladder, composite
+    0.7·name + 0.3·date-similarity on the percent scale.
+    """
+    from ..functions.dates import algo7_score, birthdate_similarity_pct
+
+    def _pin(df: DataFrame) -> DataFrame:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return df
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if pins is not None:
+            pins.append(df)
+        return df
+
+    p1, p2 = _pin(p1), _pin(p2)
+    cands = candidates_algo7(p1, p2, pins=pins)
+    lpay = _prefixed(p1, "l_", _PAYLOAD_COLS)
+    rpay = _prefixed(p2, "r_", _PAYLOAD_COLS)
+    pairs = cands.join(lpay, "l_id").join(rpay, "r_id")
+    gated = pairs.filter(
+        F.col("l_birthdate").isNotNull() & F.col("r_birthdate").isNotNull()
+    )
+    scored = score_candidate_pairs(gated, include_middle=False)
+    bd = birthdate_similarity_pct(F.col("l_birthdate"), F.col("r_birthdate"))
+    composite = (
+        scored.withColumn("_bd_pct", bd)
+        .withColumn("score", algo7_score(F.col("score"), F.col("_bd_pct")))
+        .withColumn("confidence", F.col("score") / 100.0)
+        .withColumn(
+            "match_case",
+            F.concat_ws(
+                ",",
+                F.lit("fuzzy7"),
+                F.col("match_case"),
+                F.concat(
+                    F.lit("birthdate:"),
+                    F.round(F.col("_bd_pct")).cast("int").cast("string"),
+                    F.lit("%"),
+                ),
+            ),
+        )
+        .drop("_bd_pct")
+    )
+    out = _pair_output(composite)
+    # Algo-7 has no birthdate-equality column contract; the shared
+    # output shape keeps l_birthdate under "birthdate" like the others.
+    return out
+
+
 def _pair_output(scored: DataFrame) -> DataFrame:
     return scored.select(
         F.col("l_id").alias("id_1"),

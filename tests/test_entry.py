@@ -32,8 +32,8 @@ def test_registry_consistency():
     # every non-oracle query is one of the documented non-SQL ops
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "mm_media_features",
-        "wp_stream_linkage",
+        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "lk_algo7_pairs",
+        "mm_media_features", "wp_stream_linkage",
     }
 
 

@@ -20,6 +20,10 @@ def _storage_entries(spark) -> int:
 
 
 def test_incremental_linkage_matches_batch_and_resumes(spark, tmp_path):
+    # Shared session: earlier tests may have left pinned tables
+    # (match_fuzzy auto-persists); start from a clean cache so the
+    # hygiene assertion below measures THIS test's behavior.
+    spark.catalog.clearCache()
     a_pd, b_pd, _ = make_dirty(400, seed=9)
     ref = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
 
