@@ -39,6 +39,21 @@ def strip_diacritics_lower_trim(s: str | None) -> str | None:
     return no_marks.lower().strip()
 
 
+# Flipped by session._register_jvm_udfs when the compiled
+# NmsNormalizeText kernel is on the classpath.
+JVM_NORM_ENABLED = False
+
+
+def normalize_text_col(col: Column) -> Column:
+    """normalize_text as a column expression: the compiled Java kernel
+    when registered (keeps the per-record prepare chain fully JVM-side
+    — no Arrow channel), the pandas UDF otherwise. Both are
+    differential-tested against the scalar Python mirror."""
+    if JVM_NORM_ENABLED:
+        return F.call_udf("nms_normalize_text", col)
+    return normalize_text_udf(col)
+
+
 @pandas_udf(StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
     """Arrow-vectorized normalize_text; computed once per record.

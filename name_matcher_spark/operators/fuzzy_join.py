@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.fuzzy import score_candidate_pairs
-from .prepare import soundex4_udf
+from .prepare import soundex4_col
 
 _PAYLOAD_COLS = [
     "id", "uuid", "first_name", "middle_name", "last_name", "birthdate",
@@ -175,7 +175,7 @@ def _refine_hot_blocks(
         flagged = df.join(hot_b, df[key] == hot_b["hot_key"], "left")
         hot_rows = (
             flagged.filter(F.col("hot_key").isNotNull())
-            .withColumn(key, F.concat_ws("|", key, soundex4_udf(F.col(first))))
+            .withColumn(key, F.concat_ws("|", key, soundex4_col(F.col(first))))
             .drop("hot_key")
         )
         cold_rows = flagged.filter(F.col("hot_key").isNull()).drop("hot_key")

@@ -18,7 +18,7 @@ from pyspark.sql.types import StringType
 from ..functions.normalize import (
     normalize_for_phonetic_py,
     normalize_simple_col,
-    normalize_text_udf,
+    normalize_text_col,
     simple_full_col,
 )
 from ..functions.phonetic import double_metaphone, soundex4
@@ -29,6 +29,17 @@ def soundex4_udf(s: pd.Series) -> pd.Series:
     uniques = s.dropna().unique()
     mapping = {u: soundex4(u) for u in uniques}
     return s.map(mapping, na_action="ignore").fillna("0000")
+
+
+def soundex4_col(col: Column) -> Column:
+    """soundex4 as a column expression: compiled Java kernel when
+    registered (JVM-side, no Arrow), pandas UDF fallback. Null input
+    codes to '0000' in both (the kernel is invoked on nulls)."""
+    from ..functions import phonetic
+
+    if phonetic.JVM_SX_ENABLED:
+        return F.call_udf("nms_soundex4", col)
+    return soundex4_udf(col)
 
 
 @pandas_udf(StringType())
@@ -58,13 +69,15 @@ def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
       dmeta — Double Metaphone primary code of `full`
       birth_year, first_initial, last_initial, sx_last, block_key
 
-    One shuffle-free projection; Python confined to three pandas UDFs
-    with distinct-value caches.
+    One shuffle-free projection. With the compiled kernels registered
+    (NmsNormalizeText / NmsSoundex4) the only Python left is the
+    Double Metaphone pandas UDF (distinct-value cached); without the
+    jar everything falls back to Arrow pandas UDFs.
     """
     out = (
-        df.withColumn("norm_first", normalize_text_udf(F.col("first_name")))
-        .withColumn("norm_middle", normalize_text_udf(F.col("middle_name")))
-        .withColumn("norm_last", normalize_text_udf(F.col("last_name")))
+        df.withColumn("norm_first", normalize_text_col(F.col("first_name")))
+        .withColumn("norm_middle", normalize_text_col(F.col("middle_name")))
+        .withColumn("norm_last", normalize_text_col(F.col("last_name")))
     )
     out = (
         out.withColumn("simple_first", normalize_simple_col(F.coalesce("norm_first", F.lit(""))))
@@ -83,7 +96,7 @@ def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
         out.withColumn("birth_year", F.year("birthdate"))
         .withColumn("first_initial", first_alpha_initial(F.col("norm_first")))
         .withColumn("last_initial", first_alpha_initial(F.col("norm_last")))
-        .withColumn("sx_last", soundex4_udf(F.col("norm_last")))
+        .withColumn("sx_last", soundex4_col(F.col("norm_last")))
     )
     # Composite key of the reference BKey (year, first init, last init,
     # soundex4(last)) — mod.rs:1045. Rows with no birthdate or name can

@@ -126,7 +126,7 @@ def _register_jvm_udfs(spark: SparkSession) -> None:
         StructType,
     )
 
-    from .functions import fuzzy, similarity
+    from .functions import fuzzy, normalize, phonetic, similarity
 
     try:
         spark.udf.registerJavaFunction(
@@ -135,6 +135,20 @@ def _register_jvm_udfs(spark: SparkSession) -> None:
         similarity.JVM_JW_ENABLED = True
     except Exception:  # noqa: BLE001
         similarity.JVM_JW_ENABLED = False
+    try:
+        spark.udf.registerJavaFunction(
+            "nms_normalize_text", "nms.NmsNormalizeText", StringType()
+        )
+        normalize.JVM_NORM_ENABLED = True
+    except Exception:  # noqa: BLE001
+        normalize.JVM_NORM_ENABLED = False
+    try:
+        spark.udf.registerJavaFunction(
+            "nms_soundex4", "nms.NmsSoundex4", StringType()
+        )
+        phonetic.JVM_SX_ENABLED = True
+    except Exception:  # noqa: BLE001
+        phonetic.JVM_SX_ENABLED = False
     try:
         spark.udf.registerJavaFunction(
             "nms_fuzzy_score",

@@ -90,3 +90,49 @@ def test_simple_full_double_space(spark):
         ).collect()
     ]
     assert got == ["john  smith", "john q smith"]
+
+
+def test_jvm_normalize_kernel_matches_python(spark):
+    """The compiled NmsNormalizeText kernel must agree byte-for-byte
+    with the Python scalar mirror on adversarial Unicode, and on the
+    full dirty-fixture name distribution."""
+    import pytest as _pytest
+
+    from name_matcher_spark.functions import normalize as nmod
+    from name_matcher_spark.functions.normalize import strip_diacritics_lower_trim
+
+    if not nmod.JVM_NORM_ENABLED:
+        _pytest.skip("JVM kernel not registered (jar build unavailable)")
+
+    cases = [
+        None, "", "   ", "abc", "  AbC  ",
+        "  padded ", " ogham ", "\ttab\nnl\r",
+        "Ó Súilleabháin", "Nguyễn Thị Ánh", "Dvořák", "Brandão",
+        "ß", "ẞ STRASSE", "İstanbul", "IJssel", "ΣΊΣΥΦΟΣ", "ΑΣ Σ",
+        "ñÑ çÇ øØ æÆ đĐ", "áé", "́leading-mark",
+        "ﬁligature", "ﬂood", "한국어 이름", "北京 人", "Ёлкин", "Їжак",
+        "è́̂stacked", "🎉 emoji 🎉", "ARABIC عَرَبِيّ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string").coalesce(1)
+    got = [
+        r.j for r in df.select(F.call_udf("nms_normalize_text", "s").alias("j")).collect()
+    ]
+    for c, j in zip(cases, got):
+        assert j == strip_diacritics_lower_trim(c), repr(c)
+
+    # Bulk: every name in the dirty fixture, JVM vs Arrow-pandas path.
+    from name_matcher_spark.fixtures.persons import make_dirty
+    from name_matcher_spark.functions.normalize import normalize_text_udf
+
+    a_pd, b_pd, _ = make_dirty(2000, seed=31)
+    import pandas as pd
+    names = pd.concat([
+        a_pd["first_name"], a_pd["middle_name"], a_pd["last_name"],
+        b_pd["first_name"], b_pd["middle_name"], b_pd["last_name"],
+    ]).dropna().unique()
+    ndf = spark.createDataFrame([(str(n),) for n in names], "s string")
+    diff = ndf.select(
+        F.call_udf("nms_normalize_text", "s").alias("j"),
+        normalize_text_udf(F.col("s")).alias("p"),
+    ).filter("j IS DISTINCT FROM p")
+    assert diff.count() == 0

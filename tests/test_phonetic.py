@@ -93,3 +93,25 @@ def test_double_metaphone_pools_no_crash():
 def test_double_metaphone_empty():
     assert double_metaphone("") == ""
     assert double_metaphone(None) == ""
+
+
+def test_jvm_soundex4_kernel_matches_python(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from name_matcher_spark.functions import phonetic as pmod
+    from name_matcher_spark.functions.phonetic import soundex4
+
+    if not pmod.JVM_SX_ENABLED:
+        _pytest.skip("JVM kernel not registered (jar build unavailable)")
+
+    cases = [
+        None, "", "   ", "a", "pfister", "robert", "rupert", "ashcraft",
+        "o'brien", "müller", "smith-jones", "123", "x9y8z7", "llll",
+        "bfpv", "wwww", "honeyman", "Ó súilleabháin", "van der berg",
+        "ñoño", "ΑΒΓ", "schwarzenegger",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string").coalesce(1)
+    got = [r.j for r in df.select(F.call_udf("nms_soundex4", "s").alias("j")).collect()]
+    for c, j in zip(cases, got):
+        assert j == soundex4(c), repr(c)

@@ -110,3 +110,23 @@ def test_broadcast_for_small_dimension(spark):
     q.collect()
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
+
+
+def test_prepare_python_confined_to_metaphone(spark):
+    """With the compiled normalize/soundex kernels registered, the
+    per-record prepare chain's ONLY Python node is the Double Metaphone
+    pandas UDF — the Arrow channel is the documented scaling ceiling, so
+    everything else must stay JVM-side."""
+    from name_matcher_spark import harness
+    from name_matcher_spark.functions import normalize, phonetic
+    from name_matcher_spark.operators.prepare import prepare_persons
+
+    if not (normalize.JVM_NORM_ENABLED and phonetic.JVM_SX_ENABLED):
+        import pytest as _pytest
+
+        _pytest.skip("JVM kernels not registered (jar build unavailable)")
+
+    plan = _plan(prepare_persons(harness.persons_a(spark, SF)))
+    assert plan.count("ArrowEvalPython") == 1  # dmeta only
+    assert "BatchEvalPython" not in plan
+    assert "nms_normalize_text" in plan and "nms_soundex4" in plan
