@@ -148,3 +148,63 @@ def test_extraction_field_parse(spark):
         a_pd["middle_name"]
     )
     assert list(ext["birthdate"]) == list(a_pd["birthdate"])
+
+
+def test_cluster_pairwise_f1_on_labeled_pairs(spark):
+    """North-rule wording: 'matching the reference's entity clusters
+    (pairwise F1>=0.99) on labeled pairs at the same blocking key'.
+    Predicted same-cluster relation (cross-side pairs sharing a cluster
+    id) vs the transitive closure of the scalar-mirror match set."""
+    from name_matcher_spark.fixtures.persons import make_dirty
+    from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+    from name_matcher_spark.operators.prepare import prepare_persons
+    from tests.test_fuzzy import _oracle_pairs
+
+    a_pd, b_pd, _ = make_dirty(1500)
+    a = prepare_persons(spark.createDataFrame(a_pd), include_middle=False)
+    b = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
+    pairs = match_fuzzy(a, b, include_middle=False, blocking="birthdate")
+    comp = cluster_pairs(pairs, threshold=0.95).collect()
+    by_cluster = {}
+    for r in comp:
+        by_cluster.setdefault(r.cluster_id, {"a": set(), "b": set()})[r.side].add(r.id)
+    predicted = {
+        (ia, ib)
+        for grp in by_cluster.values()
+        for ia in grp["a"]
+        for ib in grp["b"]
+    }
+
+    # Truth: union-find closure over the mirror's >=0.95 pairs.
+    oracle = {k for k, s in _oracle_pairs(a_pd, b_pd, False).items() if s >= 95.0}
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in oracle:
+        ra, rb = find(("a", ia)), find(("b", ib))
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for ia, ib in oracle:
+        groups.setdefault(find(("a", ia)), {"a": set(), "b": set()})
+        groups[find(("a", ia))]["a"].add(ia)
+        groups[find(("b", ib))]["b"].add(ib)
+    actual = {
+        (ia, ib)
+        for grp in groups.values()
+        for ia in grp["a"]
+        for ib in grp["b"]
+    }
+
+    tp = len(predicted & actual)
+    precision = tp / len(predicted) if predicted else 1.0
+    recall = tp / len(actual) if actual else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, f"cluster pairwise F1={f1:.4f} (p={precision:.4f} r={recall:.4f})"
+    assert actual, "labeled closure must be non-empty"
