@@ -18,9 +18,10 @@ but the implementation accepts arbitrary ASCII.
 
 from __future__ import annotations
 
-# Flipped by session._register_jvm_udfs when the compiled NmsSoundex4
-# kernel is on the classpath.
+# Flipped by session._register_jvm_udfs when the compiled NmsSoundex4 /
+# NmsDoubleMetaphone kernels are on the classpath.
 JVM_SX_ENABLED = False
+JVM_DMETA_ENABLED = False
 
 VOWELS = "AEIOUY"
 SILENT_STARTS = ("GN", "KN", "PN", "WR", "PS")

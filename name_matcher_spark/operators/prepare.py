@@ -50,6 +50,17 @@ def dmeta_udf(full: pd.Series) -> pd.Series:
     return full.map(mapping, na_action="ignore").fillna("")
 
 
+def dmeta_col(col: Column) -> Column:
+    """Double Metaphone as a column expression: compiled Java kernel
+    when registered (the LAST Python in the prepare chain), pandas UDF
+    fallback. Null input codes to '' in both."""
+    from ..functions import phonetic
+
+    if phonetic.JVM_DMETA_ENABLED:
+        return F.call_udf("nms_dmeta", col)
+    return dmeta_udf(col)
+
+
 def first_alpha_initial(col: Column) -> Column:
     """First ASCII-alphabetic char, uppercased; '?' when none
     (mod.rs:1055-1056)."""
@@ -70,9 +81,9 @@ def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
       birth_year, first_initial, last_initial, sx_last, block_key
 
     One shuffle-free projection. With the compiled kernels registered
-    (NmsNormalizeText / NmsSoundex4) the only Python left is the
-    Double Metaphone pandas UDF (distinct-value cached); without the
-    jar everything falls back to Arrow pandas UDFs.
+    (NmsNormalizeText / NmsSoundex4 / NmsDoubleMetaphone) the prepare
+    chain contains ZERO Python; without the jar everything falls back
+    to Arrow pandas UDFs with distinct-value caches.
     """
     out = (
         df.withColumn("norm_first", normalize_text_col(F.col("first_name")))
@@ -90,7 +101,7 @@ def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
         )
     else:
         full = simple_full_col(F.col("norm_first"), F.col("norm_last"))
-    out = out.withColumn("full", full).withColumn("dmeta", dmeta_udf(F.col("full")))
+    out = out.withColumn("full", full).withColumn("dmeta", dmeta_col(F.col("full")))
 
     out = (
         out.withColumn("birth_year", F.year("birthdate"))

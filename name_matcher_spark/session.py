@@ -151,6 +151,13 @@ def _register_jvm_udfs(spark: SparkSession) -> None:
         phonetic.JVM_SX_ENABLED = False
     try:
         spark.udf.registerJavaFunction(
+            "nms_dmeta", "nms.NmsDoubleMetaphone", StringType()
+        )
+        phonetic.JVM_DMETA_ENABLED = True
+    except Exception:  # noqa: BLE001
+        phonetic.JVM_DMETA_ENABLED = False
+    try:
+        spark.udf.registerJavaFunction(
             "nms_fuzzy_score",
             "nms.NmsFuzzyScore",
             StructType(

@@ -115,3 +115,78 @@ def test_jvm_soundex4_kernel_matches_python(spark):
     got = [r.j for r in df.select(F.call_udf("nms_soundex4", "s").alias("j")).collect()]
     for c, j in zip(cases, got):
         assert j == soundex4(c), repr(c)
+
+
+def test_jvm_dmeta_kernel_matches_python(spark):
+    """NmsDoubleMetaphone (normalize_for_phonetic + DM primary) must
+    agree with the Python mirror on a rule-corpus hitting every
+    handler, the fixture distribution, and seeded random strings."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from name_matcher_spark.functions import phonetic as pmod
+
+    if not pmod.JVM_DMETA_ENABLED:
+        _pytest.skip("JVM kernel not registered (jar build unavailable)")
+
+    rule_corpus = [
+        None, "", " ", "a",
+        # silent starts, vowels, duplicates
+        "gnome", "knight", "pneumonia", "wrack", "psalm", "aeiouy",
+        "abba", "buff", "akka", "annčlk",
+        # C family
+        "chianti", "caesar", "chae", "czerny", "focaccia", "mcclellan",
+        "accident", "succeed", "bacci", "nickel", "cagney", "cicero",
+        "chemistry", "chorus", "orchestra", "architect", "orchid",
+        "michael", "school", "van ness", "von braun", "mchugh",
+        # D/G families
+        "edge", "edgar", "width", "ghislane", "ghoti", "hugh", "bough",
+        "broughton", "laugh", "cough", "gnarl", "signa", "wagner",
+        "gymnasium", "danger", "ranger", "manger", "berger", "aggie",
+        "oggi", "getty", "biaggi", "tagliaro", "baja",
+        # H/J/K/L
+        "jose", "san jacinto", "jankelowicz", "bajador", "svaraj",
+        "cabrillo", "gallegos", "llama", "villa", "crocodile",
+        # M/N/P/Q/R
+        "thumb", "dumber", "campbell", "phone", "raspberry", "uomo",
+        "hochmeier", "xavier",
+        # S family
+        "island", "isle", "sugar", "sholz", "shoek", "sheim", "smith",
+        "snider", "schenker", "schooner", "schermerhorn", "schmidt",
+        "scenic", "sclerosis", "silvio", "pasion", "ois", "lois",
+        # T/W/X/Z
+        "nation", "thames", "thomas", "vanthan", "witty", "wasserman",
+        "wicz", "filipowicz", "breaux", "zhao", "zza", "zanzibar",
+        "rogier", "cambrillo", "accede",
+        # unicode through normalize_for_phonetic
+        "Ó Súilleabháin", "ßtraße", "Ærø", "đorđe", "ǽther",
+        "José-María", "  padded  name  ", "北京", "x",
+    ]
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz ÁÉÍéçñßæøđ-'. XWKZC"
+    randoms = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(400)
+    ]
+    from name_matcher_spark.fixtures.persons import make_dirty
+
+    a_pd, b_pd, _ = make_dirty(1000, seed=7)
+    fixture_fulls = list({
+        f"{r.first_name or ''} {r.last_name or ''}"
+        for df in (a_pd, b_pd)
+        for r in df.itertuples()
+    })
+
+    from name_matcher_spark.operators.prepare import dmeta_udf
+
+    cases = rule_corpus + randoms + fixture_fulls
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    diff = df.select(
+        "s",
+        F.call_udf("nms_dmeta", "s").alias("j"),
+        dmeta_udf(F.col("s")).alias("p"),
+    ).filter("j IS DISTINCT FROM p")
+    bad = diff.limit(10).collect()
+    assert not bad, [(r.s, r.j, r.p) for r in bad]

@@ -112,21 +112,27 @@ def test_broadcast_for_small_dimension(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_prepare_python_confined_to_metaphone(spark):
-    """With the compiled normalize/soundex kernels registered, the
-    per-record prepare chain's ONLY Python node is the Double Metaphone
-    pandas UDF — the Arrow channel is the documented scaling ceiling, so
-    everything else must stay JVM-side."""
+def test_prepare_chain_zero_python(spark):
+    """With the compiled normalize/soundex/metaphone kernels
+    registered, the per-record prepare chain contains ZERO Python nodes
+    — the Arrow channel is the documented scaling ceiling, and the
+    whole per-record path (and with the Java JW, the per-pair path too)
+    now runs JVM-side."""
     from name_matcher_spark import harness
     from name_matcher_spark.functions import normalize, phonetic
     from name_matcher_spark.operators.prepare import prepare_persons
 
-    if not (normalize.JVM_NORM_ENABLED and phonetic.JVM_SX_ENABLED):
+    if not (
+        normalize.JVM_NORM_ENABLED
+        and phonetic.JVM_SX_ENABLED
+        and phonetic.JVM_DMETA_ENABLED
+    ):
         import pytest as _pytest
 
         _pytest.skip("JVM kernels not registered (jar build unavailable)")
 
     plan = _plan(prepare_persons(harness.persons_a(spark, SF)))
-    assert plan.count("ArrowEvalPython") == 1  # dmeta only
+    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "nms_normalize_text" in plan and "nms_soundex4" in plan
+    assert "nms_dmeta" in plan
