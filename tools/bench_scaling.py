@@ -181,7 +181,11 @@ def main() -> None:
     print(json.dumps(summary, indent=2))
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
-    (out / "scaling_latest.json").write_text(json.dumps(summary, indent=2))
+    # Merge, don't clobber: --longlev results live in the same file.
+    path = out / "scaling_latest.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data.update(summary)
+    path.write_text(json.dumps(data, indent=2))
 
 
 
