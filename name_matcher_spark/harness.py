@@ -729,6 +729,30 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 DD_MINHASH_SQL = _minhash_sql()
 
 
+def dd_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming dedup (streaming/dedup.py): documents
+    drained in micro-batches, each joined against the accumulated
+    bucket store. The union of emitted pairs provably equals the batch
+    LSH candidate set, so the STREAMING path gets the full DuckDB
+    minhash oracle (DD_MINHASH_SQL) — not just a rows check."""
+    import tempfile
+
+    from .streaming.dedup import incremental_dedup
+
+    work = tempfile.mkdtemp(prefix="dd_stream_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = f"{work}/src"
+    docs.repartition(2).write.parquet(src)
+    q = incremental_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        f"{work}/store", f"{work}/out", f"{work}/ck",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").select("id_a", "id_b")
+
+
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates -> transitive dup clusters -> canonical
     doc per cluster (longest text, ties to min id) — the keep-one step
@@ -1164,6 +1188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_clusters_bigstar": lk_clusters_bigstar,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
+    "dd_stream_minhash": dd_stream_minhash,
     "dd_dup_clusters": dd_dup_clusters,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
@@ -1194,6 +1219,7 @@ ORACLES: dict[str, str] = {
     "lk_clusters_bigstar": LK_CLUSTERS_SQL,
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,
+    "dd_stream_minhash": DD_MINHASH_SQL,
     "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
     "dd_simhash": DD_SIMHASH_SQL,

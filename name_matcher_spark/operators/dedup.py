@@ -85,6 +85,30 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) LSH bucket assignments — one row per doc per
+    band. The shared building block of the batch candidate join and the
+    streaming incremental dedup's bucket store."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(shingles(docs, id_col, text_col, k), id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -99,18 +123,7 @@ def minhash_lsh_candidates(
     become a candidate pair (id_a < id_b). The join happens inside
     band buckets only — never all-pairs.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(shingles(docs, id_col, text_col, k), id_col, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
+    buckets = band_buckets(docs, id_col, text_col, k, num_hashes, bands)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
     return (

@@ -1,0 +1,106 @@
+"""Incremental near-duplicate detection over an unbounded document
+stream — "is this new crawl page a near-dup of anything we've ever
+seen?", the standing question of a training-data ingest pipeline.
+
+Each micro-batch: compute the batch's MinHash band buckets, equi-join
+them against the ACCUMULATED bucket store (every doc seen so far) for
+new-vs-corpus candidates, self-join within the batch for new-vs-new,
+then append the batch's buckets to the store. The invariant (tested):
+the union of pairs emitted across all batches equals what the batch
+operator `minhash_lsh_candidates` produces on the full corpus —
+incremental processing changes WHEN a pair is found (when its second
+member arrives), never WHETHER.
+
+Idempotence: both the pair sink and the bucket store partition by
+`batch_id` with dynamic partition overwrite, so a retried batch
+rewrites its own partitions instead of duplicating rows (same pattern
+as streaming/linkage.py).
+
+Scale posture: the store grows with the corpus but the per-batch join
+is a hash equi-join on (band, key) — the batch side is small, AQE
+broadcasts it, and the store scan is columnar. At crawl scale the
+store would be bucketed/Z-ordered by (band, key) so the join prunes;
+the contract here is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import band_buckets
+
+
+def incremental_dedup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    available_now: bool = True,
+):
+    """Start the streaming query. Emits (id_a, id_b, batch_id) pairs
+    with id_a < id_b; returns the StreamingQuery handle."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        buckets = band_buckets(
+            batch_df, id_col, text_col, k, num_hashes, bands
+        ).persist()
+        try:
+            new = buckets.select(
+                F.col(id_col).alias("id_b"), "band", "key"
+            )
+            # new-vs-new inside the batch
+            self_pairs = (
+                buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+                .join(new, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            try:
+                store = spark.read.parquet(store_dir).filter(
+                    F.col("batch_id") < batch_id
+                )
+                cross_pairs = (
+                    store.select(F.col(id_col).alias("id_a"), "band", "key")
+                    .join(new, ["band", "key"])
+                    .filter(F.col("id_a") != F.col("id_b"))
+                    .select(
+                        F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b"),
+                    )
+                )
+                pairs = self_pairs.unionByName(cross_pairs)
+            except Exception:  # noqa: BLE001 - first batch: no store yet
+                pairs = self_pairs
+            (
+                pairs.distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(output_dir)
+            )
+            (
+                buckets.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+        finally:
+            buckets.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )
