@@ -90,7 +90,7 @@ def score_candidate_pairs(
     include_middle: bool,
     left_prefix: str = "l_",
     right_prefix: str = "r_",
-    dedup_inputs: bool = True,
+    dedup_inputs: bool = False,
 ) -> DataFrame:
     """Append score/match_case/confidence to a candidate-pair DataFrame
     and drop non-matches.
@@ -101,14 +101,14 @@ def score_candidate_pairs(
       {p}dmeta         — double-metaphone code of the full name
       {p}simple_first / {p}simple_middle / {p}simple_last
 
-    ``dedup_inputs`` (default on): name distributions are heavy-tailed,
-    so candidate batches repeat the same scoring-input tuples many
-    times. The kernels run on DISTINCT input tuples only — the distinct
-    is cheap (map-side partial aggregation emits each partition's local
-    uniques, so the shuffle carries uniques, not pairs) and the scored
-    uniques join back to the pair stream by a single equi-join (AQE
-    broadcasts it when small). Identical results by construction; set
-    False for near-unique corpora to skip the extra join.
+    ``dedup_inputs`` (default OFF since the kernels went JVM): scoring
+    distinct input tuples and joining back was a 2-3x win when the
+    kernels crossed the Arrow channel; with the compiled Java JW +
+    codegen ladder, direct evaluation is 2.5x FASTER than the extra
+    distinct shuffle + join at bench scale (A/B, sf0.1: 0.6 s vs
+    1.4 s on 150k pairs). Identical results either way; turn it ON for
+    extremely heavy-tailed corpora where the distinct ratio (unique
+    tuples / pairs) drops well below the shuffle's break-even.
     """
     lp, rp = left_prefix, right_prefix
     full1, full2 = F.col(f"{lp}full"), F.col(f"{rp}full")
