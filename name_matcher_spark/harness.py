@@ -433,6 +433,78 @@ FROM pa GROUP BY 1, 2, 3
 """
 
 
+def lk_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation (operators/blocking_eval.py):
+    candidate volume, truth recall, and cross-product reduction per
+    strategy, with Algo-1 pairs as the labeled truth. The two
+    SQL-expressible strategies are oracle-checked; bkey_exact (custom
+    soundex in the key) is covered by pytest."""
+    from .operators.blocking_eval import blocking_quality
+    from .operators.exact import match_algo1
+
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    truth = match_algo1(pa, pb).select("id_1", "id_2")
+    return blocking_quality(
+        pa, pb, truth, strategies=("birthdate", "year_initials")
+    )
+
+
+_INIT_SQL = (
+    "coalesce(nullif(upper(regexp_extract(strip_accents({col}), '[a-zA-Z]')), ''), '?')"
+)
+
+LK_BLOCKING_QUALITY_SQL = f"""
+WITH pa AS ({{pa}}), pb AS ({{pb}}),
+ka AS (
+  SELECT id AS id_1, birthdate, CAST(year(birthdate) AS INT) AS by,
+    {_INIT_SQL.format(col="first_name")} AS fi,
+    {_INIT_SQL.format(col="last_name")} AS li
+  FROM pa
+),
+kb AS (
+  SELECT id AS id_2, birthdate, CAST(year(birthdate) AS INT) AS by,
+    {_INIT_SQL.format(col="first_name")} AS fi,
+    {_INIT_SQL.format(col="last_name")} AS li
+  FROM pb
+),
+truth AS (
+  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+),
+sizes AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pa) AS n1,
+         (SELECT CAST(count(*) AS DOUBLE) FROM pb) AS n2,
+         (SELECT CAST(count(*) AS DOUBLE) FROM truth) AS nt
+),
+bd AS (SELECT id_1, id_2 FROM ka JOIN kb USING (birthdate)),
+yi AS (SELECT id_1, id_2 FROM ka JOIN kb USING (by, fi, li)),
+bd_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      WHERE EXISTS (SELECT 1 FROM bd c WHERE c.id_1 = t.id_1 AND c.id_2 = t.id_2)) AS n_covered
+  FROM bd
+),
+yi_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      WHERE EXISTS (SELECT 1 FROM yi c WHERE c.id_1 = t.id_1 AND c.id_2 = t.id_2)) AS n_covered
+  FROM yi
+)
+SELECT 'birthdate' AS strategy, n_candidates, CAST(nt AS BIGINT) AS n_truth, n_covered,
+  round(CASE WHEN nt > 0 THEN n_covered / nt ELSE 1.0 END, 6) AS recall,
+  round(1.0 - n_candidates / (n1 * n2), 6) AS reduction
+FROM bd_stats, sizes
+UNION ALL
+SELECT 'year_initials', n_candidates, CAST(nt AS BIGINT), n_covered,
+  round(CASE WHEN nt > 0 THEN n_covered / nt ELSE 1.0 END, 6),
+  round(1.0 - n_candidates / (n1 * n2), 6)
+FROM yi_stats, sizes
+"""
+
+
 def lk_lev_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity kernels head-to-head with DuckDB's: candidate pairs
     on exact birthdate, Levenshtein-pct (byte denominator) and
@@ -1182,6 +1254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_fuzzy_pairs": lk_fuzzy_pairs,
     "lk_fuzzy_pairs_mid": lk_fuzzy_pairs_mid,
     "lk_algo7_pairs": lk_algo7_pairs,
+    "lk_blocking_quality": lk_blocking_quality,
     "lk_household_pct": lk_household_pct,
     "lk_household_pct_opt6": lk_household_pct_opt6,
     "lk_clusters": lk_clusters,
@@ -1212,6 +1285,7 @@ ORACLES: dict[str, str] = {
     "lk_algo1_pairs": LK_ALGO1_SQL,
     "lk_algo2_pairs": LK_ALGO2_SQL,
     "lk_blocking_keys": LK_BLOCKING_SQL,
+    "lk_blocking_quality": LK_BLOCKING_QUALITY_SQL.format(pa=PERSONS_A_SQL, pb=PERSONS_B_SQL),
     "lk_lev_jw_scores": LK_LEV_JW_SQL,
     "lk_household_pct": LK_HOUSEHOLD_SQL,
     "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,

@@ -1,0 +1,93 @@
+"""Blocking-key quality evaluation — recall and reduction metrics for
+a blocking strategy against a labeled truth pair set.
+
+The north rule frames parity "on labeled pairs at the same blocking
+key"; this operator makes that measurable for ANY strategy: how many
+candidate pairs does the blocking generate (cost), and what fraction
+of the truth pairs does it retain (recall)? The reference has no such
+tool (its blocking is fixed, mod.rs:1045); at crawl scale choosing a
+blocking key is a measured decision, so the engine ships the
+measurement.
+
+All metrics are single-row aggregates per strategy (lazy, no collect);
+candidate generation reuses the engine's own key columns so the
+numbers describe exactly what the matcher would see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _candidates_for(p1: DataFrame, p2: DataFrame, strategy: str) -> DataFrame:
+    l = p1.select(
+        F.col("id").alias("id_1"), "birthdate", "birth_year",
+        "first_initial", "last_initial", "block_key",
+    )
+    r = p2.select(
+        F.col("id").alias("id_2"), "birthdate", "birth_year",
+        "first_initial", "last_initial", "block_key",
+    )
+    if strategy == "birthdate":
+        cond = [l["birthdate"] == r["birthdate"]]
+    elif strategy == "year_initials":
+        cond = [
+            l["birth_year"] == r["birth_year"],
+            l["first_initial"] == r["first_initial"],
+            l["last_initial"] == r["last_initial"],
+        ]
+    elif strategy == "bkey_exact":
+        cond = [l["block_key"] == r["block_key"]]
+    else:
+        raise ValueError(f"unknown blocking strategy: {strategy}")
+    return l.join(r, cond).select("id_1", "id_2")
+
+
+def blocking_quality(
+    p1: DataFrame,
+    p2: DataFrame,
+    truth: DataFrame,
+    strategies: tuple = ("birthdate", "year_initials", "bkey_exact"),
+) -> DataFrame:
+    """One row per strategy:
+    (strategy, n_candidates, n_truth, n_covered, recall, reduction).
+
+    ``truth`` must carry (id_1, id_2). recall = covered truth pairs /
+    truth pairs; reduction = 1 - candidates / (|p1| * |p2|) — the
+    fraction of the cross product the blocking avoids scoring.
+    """
+    t = truth.select("id_1", "id_2")
+    n1 = p1.select(F.count("*").cast("double").alias("n1"))
+    n2 = p2.select(F.count("*").cast("double").alias("n2"))
+    per_strategy = []
+    for s in strategies:
+        cands = _candidates_for(p1, p2, s)
+        stats = cands.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        ).crossJoin(
+            t.join(cands, ["id_1", "id_2"], "left_semi").agg(
+                F.count("*").cast("long").alias("n_covered")
+            )
+        ).crossJoin(t.agg(F.count("*").cast("long").alias("n_truth")))
+        per_strategy.append(
+            stats.select(
+                F.lit(s).alias("strategy"),
+                "n_candidates",
+                "n_truth",
+                "n_covered",
+                F.round(
+                    F.when(F.col("n_truth") > 0,
+                           F.col("n_covered") / F.col("n_truth"))
+                    .otherwise(F.lit(1.0)), 6
+                ).alias("recall"),
+            )
+        )
+    out = per_strategy[0]
+    for df in per_strategy[1:]:
+        out = out.unionByName(df)
+    return out.crossJoin(n1).crossJoin(n2).select(
+        "strategy", "n_candidates", "n_truth", "n_covered", "recall",
+        F.round(1.0 - F.col("n_candidates") / (F.col("n1") * F.col("n2")), 6)
+        .alias("reduction"),
+    )

@@ -1,0 +1,34 @@
+"""Blocking-quality evaluation: recall/reduction metrics per strategy
+over the labeled dirty fixture (typo'd variants make recall < 1 and
+strategy ordering meaningful)."""
+
+from __future__ import annotations
+
+from name_matcher_spark.fixtures.persons import make_dirty
+from name_matcher_spark.operators.blocking_eval import blocking_quality
+from name_matcher_spark.operators.prepare import prepare_persons
+
+
+def test_blocking_quality_orderings(spark):
+    a_pd, b_pd, labeled = make_dirty(1500, seed=23)
+    pa = prepare_persons(spark.createDataFrame(a_pd), include_middle=False)
+    pb = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
+    truth = spark.createDataFrame(
+        labeled.rename(columns={"id_a": "id_1", "id_b": "id_2"})[["id_1", "id_2"]]
+    )
+    rows = {r.strategy: r for r in blocking_quality(pa, pb, truth).collect()}
+    assert set(rows) == {"birthdate", "year_initials", "bkey_exact"}
+    for r in rows.values():
+        assert r.n_candidates > 0
+        assert 0.0 < r.reduction < 1.0
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_covered <= r.n_truth
+    # birthdate blocking is the loosest (any shared birthdate) -> most
+    # candidates; the composite bkey is the tightest.
+    assert rows["birthdate"].n_candidates >= rows["year_initials"].n_candidates
+    assert rows["year_initials"].n_candidates >= rows["bkey_exact"].n_candidates
+    assert rows["bkey_exact"].reduction >= rows["birthdate"].reduction
+    # tighter blocking can only lose recall
+    assert rows["birthdate"].recall >= rows["bkey_exact"].recall
+    # the typo'd fixture makes exact-key blocking lossy
+    assert rows["bkey_exact"].recall < 1.0
