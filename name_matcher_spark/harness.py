@@ -701,6 +701,31 @@ def lk_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs, threshold=0.95, method="bigstar")
 
 
+def lk_stream_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering (streaming/clustering.py): algo1 pairs
+    drained in micro-batches into a maintained label store; final
+    store must equal from-scratch clustering, so it carries the same
+    recursive-CTE oracle as lk_clusters."""
+    import tempfile
+
+    from .streaming.clustering import incremental_clusters, read_clusters
+
+    pa = prepare_persons(persons_a(spark, sf_dir))
+    pb = prepare_persons(persons_b(spark, sf_dir))
+    pairs = match_algo1(pa, pb).select("id_1", "id_2", "confidence")
+    work = tempfile.mkdtemp(prefix="lk_stream_cc_")
+    src = f"{work}/src"
+    pairs.repartition(2).write.parquet(src)
+    q = incremental_clusters(
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        f"{work}/labels", f"{work}/ck",
+    )
+    q.awaitTermination()
+    return read_clusters(spark, f"{work}/labels")
+
+
 LK_CLUSTERS_SQL = f"""
 WITH RECURSIVE pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
 pairs AS (
@@ -1259,6 +1284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_household_pct_opt6": lk_household_pct_opt6,
     "lk_clusters": lk_clusters,
     "lk_clusters_bigstar": lk_clusters_bigstar,
+    "lk_stream_clusters": lk_stream_clusters,
     "dd_exact_groups": dd_exact_groups,
     "dd_minhash_bands": dd_minhash_bands,
     "dd_stream_minhash": dd_stream_minhash,
@@ -1291,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,
     "lk_clusters": LK_CLUSTERS_SQL,
     "lk_clusters_bigstar": LK_CLUSTERS_SQL,
+    "lk_stream_clusters": LK_CLUSTERS_SQL,
     "dd_exact_groups": DD_EXACT_SQL,
     "dd_minhash_bands": DD_MINHASH_SQL,
     "dd_stream_minhash": DD_MINHASH_SQL,

@@ -1,0 +1,89 @@
+"""Incremental transitive clustering over a stream of match pairs.
+
+As new pages are crawled and matched (streaming/linkage.py), entity
+clusters must absorb the new pairs WITHOUT recomputing components over
+every edge ever seen. The trick: the maintained label store
+(node -> cluster_id, cluster_id = min member node) is itself a
+spanning star of each component, so per batch it suffices to run
+connected components over (star edges from the store) ∪ (the batch's
+new edges) — a graph bounded by #nodes + #batch-edges, not by the
+total edge history. A wave that bridges two old clusters relabels BOTH
+to the joint minimum, exactly as a from-scratch batch run would.
+
+Idempotence: min-label components are absorbing — re-applying a batch
+to an already-merged store is a no-op — so a retried batch rewrites
+the same store. The store is replaced atomically per batch
+(write-new + rename) rather than partition-appended, because labels
+are global state, not an append log.
+
+The parity invariant (tested + oracle-checked): after draining, the
+store equals `cluster_pairs` run on the union of all pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.clustering import connected_components
+
+
+def incremental_clusters(
+    pairs_stream: DataFrame,
+    labels_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+):
+    """Start the streaming query. ``pairs_stream`` rows carry
+    (id_1, id_2, confidence); the store at ``labels_dir`` holds
+    (node, cluster_id) in the same encoded namespace as
+    ``cluster_pairs`` (table-A ids -> 2*id, table-B -> 2*id+1).
+    Returns the StreamingQuery handle."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_edges = batch_df.filter(F.col("confidence") >= threshold).select(
+            (F.col("id_1") * 2).alias("src"),
+            (F.col("id_2") * 2 + 1).alias("dst"),
+        )
+        tmp = f"{labels_dir}.next"
+        try:
+            star = spark.read.parquet(labels_dir).select(
+                F.col("node").alias("src"), F.col("cluster_id").alias("dst")
+            )
+            edges = new_edges.unionByName(star)
+        except Exception:  # noqa: BLE001 - first batch: no store yet
+            edges = new_edges
+        comp = connected_components(edges)
+        comp.write.mode("overwrite").parquet(tmp)
+        # Atomic replace: a reader (or a retry) sees either the old or
+        # the new complete store, never a half-written one.
+        import shutil
+
+        old = f"{labels_dir}.old"
+        if os.path.exists(labels_dir):
+            os.rename(labels_dir, old)
+        os.rename(tmp, labels_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        pairs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_clusters(spark, labels_dir: str) -> DataFrame:
+    """Decode the store back to the (side, id, cluster_id) contract of
+    ``cluster_pairs``."""
+    return spark.read.parquet(labels_dir).select(
+        F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        F.floor(F.col("node") / 2).cast("long").alias("id"),
+        F.col("cluster_id"),
+    )
