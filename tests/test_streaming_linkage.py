@@ -69,3 +69,56 @@ def test_incremental_linkage_matches_batch_and_resumes(spark, tmp_path):
     # may remain, not one key-table set per micro-batch.
     assert _storage_entries(spark) <= 6
     spark.catalog.clearCache()
+
+
+def test_streaming_pipeline_pages_to_clusters(spark, tmp_path):
+    """The full incremental north-star path chained: page stream ->
+    incremental_linkage (pairs parquet) -> incremental_clusters (label
+    store), drained per wave. Final clusters must equal the one-shot
+    batch pipeline (match_fuzzy + cluster_pairs) over all pages."""
+    from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.streaming.clustering import (
+        incremental_clusters,
+        read_clusters,
+    )
+
+    spark.catalog.clearCache()
+    a_pd, b_pd, _ = make_dirty(400, seed=41)
+    ref = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
+    pages = spark.createDataFrame(make_pages(a_pd, "a")).drop("expected_entity")
+    src, pairs_dir, labels, ck1, ck2 = (
+        str(tmp_path / d) for d in ("src", "pairs", "labels", "ck1", "ck2")
+    )
+    pair_schema = "id_1 long, id_2 long, confidence double"
+
+    half = pages.filter(F.col("url").substr(-1, 1).isin(*"13579"))
+    rest = pages.exceptAll(half)
+
+    def drain_wave():
+        q = incremental_linkage(
+            spark.readStream.schema(pages.schema).parquet(src),
+            ref, pairs_dir, ck1,
+        )
+        q.awaitTermination()
+        # chain: the pairs sink is itself the clustering stream's source
+        q2 = incremental_clusters(
+            spark.readStream.schema(pair_schema)
+            .parquet(pairs_dir),
+            labels, ck2,
+        )
+        q2.awaitTermination()
+
+    half.write.parquet(src)
+    drain_wave()
+    rest.write.mode("append").parquet(src)
+    drain_wave()
+
+    got = read_clusters(spark, labels)
+    prepared_all = prepare_persons(
+        extract_entities(pages).withColumnRenamed("url", "uuid"), False
+    )
+    expected = cluster_pairs(
+        match_fuzzy(prepared_all, ref, include_middle=False), threshold=0.95
+    )
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0 and expected.count() > 0
