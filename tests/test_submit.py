@@ -96,3 +96,56 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     summary2 = _submit(tmp_path, zip_path, extra)
     assert summary2["stages"] == summary["stages"]
     assert manifest.stat().st_mtime_ns == mtime
+
+
+@pytest.mark.slow
+def test_spark_submit_stream_mode(tmp_path):
+    """--stream: pages directory drained incrementally under a real
+    spark-submit; cluster label store must match the local batch
+    pipeline over the same pages."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build
+
+    zip_path = build(str(tmp_path / "nms.zip"))
+    pa, pb = _write_pages(tmp_path)
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    # two files pre-arrived in the stream directory
+    import pandas as pd
+    full = pd.read_parquet(pa)
+    full.iloc[::2].to_parquet(stream_dir / "w1.parquet", index=False,
+                              coerce_timestamps="us", allow_truncated_timestamps=True)
+    full.iloc[1::2].to_parquet(stream_dir / "w2.parquet", index=False,
+                               coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    summary = _submit(
+        tmp_path, zip_path,
+        ["--stream", "--pages-a", str(stream_dir), "--pages-b", str(pb)],
+    )
+    assert summary["metric"] == "submit_job_stream"
+    assert summary["pairs"] > 0
+    assert summary["clustered_nodes"] > 0
+    assert (tmp_path / "out" / "clusters").exists()
+
+    # Parity with the local batch pipeline.
+    from name_matcher_spark.operators.clustering import cluster_pairs
+    from name_matcher_spark.operators.extract import extract_entities
+    from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+    from name_matcher_spark.operators.prepare import prepare_persons
+    from name_matcher_spark.session import get_spark
+    from name_matcher_spark.streaming.clustering import read_clusters
+
+    spark = get_spark(app_name="submit-stream-check", master="local[4]",
+                      shuffle_partitions=8)
+    pages = spark.read.parquet(str(stream_dir))
+    ref = prepare_persons(
+        extract_entities(spark.read.parquet(str(pb))).withColumnRenamed("url", "uuid"),
+        False,
+    )
+    prepared = prepare_persons(
+        extract_entities(pages).withColumnRenamed("url", "uuid"), False
+    )
+    expected = cluster_pairs(match_fuzzy(prepared, ref, include_middle=False))
+    got = read_clusters(spark, str(tmp_path / "out" / "clusters"))
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0

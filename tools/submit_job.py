@@ -16,6 +16,13 @@ Inputs are parquet tables of either shape:
   * pages  (url, warc_ts, html, text, lang)  -> extraction runs first
   * persons (uuid/id, first_name, middle_name, last_name, birthdate, ...)
 
+Streaming mode (--stream): treat --pages-a as a DIRECTORY where new
+page files keep arriving; each drain fuzzy-matches new pages against
+the --pages-b reference corpus and folds the pairs into a maintained
+cluster label store under --out. Re-submitting resumes from the
+checkpoints and processes only new files (run with --stream-forever
+for a long-lived micro-batch job instead of drain-and-exit).
+
 Every stage (extract, prepare, blocked fuzzy scoring, households,
 clusters) checkpoints to --work-dir with a lineage manifest
 (per-partition row counts + confidence histogram), so a killed run
@@ -49,7 +56,58 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--stages", default="pairs_fuzzy,households,clusters")
     ap.add_argument("--force", action="store_true",
                     help="ignore existing checkpoints")
+    ap.add_argument("--stream", action="store_true",
+                    help="incremental mode: --pages-a is a growing directory")
+    ap.add_argument("--stream-forever", action="store_true",
+                    help="with --stream: keep running micro-batches instead of drain-and-exit")
     return ap.parse_args(argv)
+
+
+def run_stream(spark, args) -> dict:
+    """Incremental pipeline: pages stream -> per-batch fuzzy match vs
+    the reference corpus -> maintained cluster label store."""
+    from name_matcher_spark.operators.extract import extract_entities
+    from name_matcher_spark.operators.prepare import prepare_persons
+    from name_matcher_spark.streaming.clustering import (
+        incremental_clusters,
+        read_clusters,
+    )
+    from name_matcher_spark.streaming.linkage import incremental_linkage
+
+    out = args.out.rstrip("/")
+    work = args.work_dir.rstrip("/")
+    ref = prepare_persons(
+        extract_entities(spark.read.parquet(args.pages_b)).withColumnRenamed(
+            "url", "uuid"
+        ),
+        args.include_middle,
+    )
+    pages_schema = spark.read.parquet(args.pages_b).schema
+    pairs_dir = f"{out}/pairs"
+    q1 = incremental_linkage(
+        spark.readStream.schema(pages_schema).parquet(args.pages_a),
+        ref,
+        pairs_dir,
+        f"{work}/ck_linkage",
+        include_middle=args.include_middle,
+        max_block_rows=args.max_block_rows,
+        available_now=not args.stream_forever,
+    )
+    q1.awaitTermination()
+    q2 = incremental_clusters(
+        spark.readStream.schema("id_1 long, id_2 long, confidence double")
+        .parquet(pairs_dir),
+        f"{out}/clusters",
+        f"{work}/ck_clusters",
+        threshold=args.threshold,
+    )
+    q2.awaitTermination()
+    return {
+        "metric": "submit_job_stream",
+        "pairs": spark.read.parquet(pairs_dir).count(),
+        "clustered_nodes": read_clusters(spark, f"{out}/clusters").count(),
+        "out": args.out,
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     # "inherit": respect spark-submit's --master / cluster manager.
     spark = get_spark(app_name="nms-linkage", master="inherit")
     t0 = time.time()
+
+    if args.stream:
+        if not args.pages_a:
+            raise SystemExit("--stream requires --pages-a (stream dir) and --pages-b (reference)")
+        summary = run_stream(spark, args)
+        summary["wall_sec"] = round(time.time() - t0, 3)
+        print(json.dumps(summary))
+        return 0
 
     kwargs = {}
     if args.pages_a:
