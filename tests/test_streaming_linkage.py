@@ -21,9 +21,12 @@ def _storage_entries(spark) -> int:
 
 def test_incremental_linkage_matches_batch_and_resumes(spark, tmp_path):
     # Shared session: earlier tests may have left pinned tables
-    # (match_fuzzy auto-persists); start from a clean cache so the
-    # hygiene assertion below measures THIS test's behavior.
+    # (match_fuzzy auto-persists) and localCheckpoint RDDs (clustering
+    # iterations), which catalog.clearCache() does NOT remove — so the
+    # hygiene check below measures the DELTA this test adds, not an
+    # absolute count.
     spark.catalog.clearCache()
+    n_storage_before = _storage_entries(spark)
     a_pd, b_pd, _ = make_dirty(400, seed=9)
     ref = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
 
@@ -67,7 +70,7 @@ def test_incremental_linkage_matches_batch_and_resumes(spark, tmp_path):
     # Cache hygiene: per-batch pins were released — only the pinned
     # reference corpus (and whatever the batch comparison just pinned)
     # may remain, not one key-table set per micro-batch.
-    assert _storage_entries(spark) <= 6
+    assert _storage_entries(spark) - n_storage_before <= 6
     spark.catalog.clearCache()
 
 
