@@ -46,3 +46,43 @@ def extract_entities(pages: DataFrame) -> DataFrame:
         F.try_to_date(F.regexp_extract("entity_text", _BORN_RE, 1)).alias("birthdate"),
         nullif(F.regexp_extract("entity_text", _HH_RE, 1)).alias("hh_id"),
     )
+
+
+REQUIRED_COLUMNS = ("id", "first_name", "last_name", "birthdate")
+OPTIONAL_COLUMNS = ("uuid", "middle_name", "hh_id")
+
+
+def apply_column_mapping(
+    df: DataFrame, mapping: dict[str, str] | None = None
+) -> DataFrame:
+    """Project an arbitrarily-named physical table to the engine's
+    logical person schema — the reference's ColumnMapping
+    (models.rs:103-126) + schema discovery fallbacks (schema.rs:80-101).
+
+    ``mapping`` is logical -> physical (identity for unmapped names).
+    Physical identifiers are validated like schema.rs:26-31 (letters,
+    digits, underscore only — blocks injection-shaped names). Required
+    columns (id, first_name, last_name, birthdate) must resolve;
+    optional ones (uuid, middle_name, hh_id) null-backfill when the
+    physical table lacks them, mirroring the reference's
+    ``NULL AS uuid`` retry.
+    """
+    import re
+
+    mapping = mapping or {}
+    for logical, physical in mapping.items():
+        if not re.fullmatch(r"[A-Za-z0-9_]+", physical or ""):
+            raise ValueError(f"invalid physical column name: {physical!r}")
+    cols = []
+    for logical in REQUIRED_COLUMNS + OPTIONAL_COLUMNS:
+        physical = mapping.get(logical, logical)
+        if physical in df.columns:
+            cols.append(F.col(physical).alias(logical))
+        elif logical in OPTIONAL_COLUMNS:
+            cols.append(F.lit(None).cast("string").alias(logical))
+        else:
+            raise ValueError(
+                f"required column {logical!r} (physical {physical!r}) "
+                f"not found in {df.columns}"
+            )
+    return df.select(*cols)

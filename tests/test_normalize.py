@@ -136,3 +136,34 @@ def test_jvm_normalize_kernel_matches_python(spark):
         normalize_text_udf(F.col("s")).alias("p"),
     ).filter("j IS DISTINCT FROM p")
     assert diff.count() == 0
+
+
+def test_apply_column_mapping(spark):
+    """ColumnMapping parity (models.rs:103-126 / schema.rs:26-31,
+    80-101): renames resolve, optional columns null-backfill, bad
+    identifiers and missing required columns raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from name_matcher_spark.operators.extract import apply_column_mapping
+    from name_matcher_spark.operators.prepare import prepare_persons
+
+    src = spark.createDataFrame(
+        [(1, "Ann", "Lee", dt.date(1990, 1, 1))],
+        "person_pk long, given string, family string, dob date",
+    )
+    mapped = apply_column_mapping(
+        src,
+        {"id": "person_pk", "first_name": "given",
+         "last_name": "family", "birthdate": "dob"},
+    )
+    row = mapped.collect()[0]
+    assert row.id == 1 and row.first_name == "Ann" and row.uuid is None
+    # mapped output feeds the engine directly
+    assert prepare_persons(mapped, include_middle=False).count() == 1
+
+    with _pytest.raises(ValueError, match="invalid physical"):
+        apply_column_mapping(src, {"id": "person_pk; DROP"})
+    with _pytest.raises(ValueError, match="required column"):
+        apply_column_mapping(src, {"id": "nope"})
