@@ -1245,7 +1245,9 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize a binary media column from the
     documents table, run the mapInPandas feature extractor (fake
-    decode; see operators/multimodal.py). Rows-only oracle."""
+    decode; see operators/multimodal.py). The fake decode is
+    deterministic (md5-derived), so the whole mapInPandas path
+    hash-checks against a DuckDB mirror."""
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
@@ -1259,6 +1261,20 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(digest, {i}, 1)) - 1)"
+
+MM_MEDIA_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'image/fake' AS mime,
+    octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+  FROM documents
+)
+SELECT media_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+  round(CAST({_HEXVAL.format(i=1)} * 16 + {_HEXVAL.format(i=2)} AS DOUBLE) / 255.0, 4) AS f0
+FROM m
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1303,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_pricing_summary": Q_PRICING_SQL,
+    "mm_media_features": MM_MEDIA_SQL,
     "q_shipping_priority": Q_SHIPPING_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_SQL,
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,

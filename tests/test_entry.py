@@ -33,7 +33,7 @@ def test_registry_consistency():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "lk_algo7_pairs",
-        "mm_media_features", "wp_stream_linkage",
+        "wp_stream_linkage",
     }
 
 
