@@ -161,23 +161,26 @@ def main() -> None:
     print("host calibration:", host)
 
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-    k8, k32 = kresults[8]["wall_sec"], kresults[32]["wall_sec"]
     speedup = t8 / t32
-    kspeed = k8 / k32
-    efficiency = speedup / 4.0
     summary = {
         "input": f"dirty {size}x{size} persons (seeded, FIXTURES.md §6)",
         "local8": results[8],
         "local32": results[32],
         "speedup_8_to_32": round(speedup, 3),
-        "scaling_efficiency": round(efficiency, 3),
-        "kernel_local8": kresults[8],
-        "kernel_local32": kresults[32],
-        "kernel_speedup_8_to_32": round(kspeed, 3),
-        "kernel_scaling_efficiency": round(kspeed / 4.0, 3),
+        "scaling_efficiency": round(speedup / 4.0, 3),
         "host_calibration_mp_speedup_8_to_32": host["speedup"],
-        "kernel_efficiency_vs_host_ceiling": round(kspeed / host["speedup"], 3),
     }
+    # A kernel child can fail (e.g. heap exhaustion at the 100M-pair
+    # point without NMS_DRIVER_MEM=24g); keep the e2e results anyway.
+    if 8 in kresults and 32 in kresults:
+        kspeed = kresults[8]["wall_sec"] / kresults[32]["wall_sec"]
+        summary.update({
+            "kernel_local8": kresults[8],
+            "kernel_local32": kresults[32],
+            "kernel_speedup_8_to_32": round(kspeed, 3),
+            "kernel_scaling_efficiency": round(kspeed / 4.0, 3),
+            "kernel_efficiency_vs_host_ceiling": round(kspeed / host["speedup"], 3),
+        })
     print(json.dumps(summary, indent=2))
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
