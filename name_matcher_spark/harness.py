@@ -186,6 +186,84 @@ def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Phonetic sidecar: per-string soundex4 / Double Metaphone codes from the
+# GOLDEN-TESTED PYTHON MIRRORS (functions/phonetic.py — validated against
+# commons-codec vectors and differential-tested against the JVM kernels),
+# written as tiny parquet maps the DuckDB oracle joins. This makes the whole
+# fuzzy ladder — cascade, birthdate gate, byte-denominator Levenshtein, JW,
+# CASE 1/2/3, score arithmetic — hash-checkable, with the phonetic codes the
+# only taken-as-given inputs (reference semantics: mod.rs:101-141).
+#
+# The maps are pure string->code functions, so entries from different scale
+# factors merge harmlessly; size is bounded by the DISTINCT name pool (a few
+# thousand strings), not the row count.
+# ---------------------------------------------------------------------------
+
+SIDECAR_DIR = "/tmp/nms_oracle_sidecar"
+_SIDECAR_READY: set[str] = set()
+
+
+def ensure_phonetic_sidecar(spark: SparkSession, sf_dir: str) -> None:
+    """Write/refresh {SIDECAR_DIR}/{soundex4,dmeta}.parquet for the
+    distinct names of this sf's person tables. Idempotent per process."""
+    if sf_dir in _SIDECAR_READY:
+        return
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .functions.normalize import (
+        normalize_for_phonetic_py,
+        normalize_simple_py,
+        strip_diacritics_lower_trim,
+    )
+    from .functions.phonetic import double_metaphone, soundex4
+
+    names = (
+        persons_a(spark, sf_dir)
+        .select("first_name", "middle_name", "last_name")
+        .unionByName(
+            persons_b(spark, sf_dir).select(
+                "first_name", "middle_name", "last_name"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    sx: dict[str, str] = {}
+    dm: dict[str, str] = {}
+    for r in names:
+        nf = strip_diacritics_lower_trim(r.first_name) or ""
+        nm = strip_diacritics_lower_trim(r.middle_name)
+        nl = strip_diacritics_lower_trim(r.last_name) or ""
+        sx[nl] = soundex4(nl)
+        for full in (
+            normalize_simple_py(f"{nf} {nl}"),
+            normalize_simple_py(f"{nf} {nm or ''} {nl}"),
+        ):
+            dm[full] = double_metaphone(normalize_for_phonetic_py(full))
+
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    for fname, mapping in (("soundex4.parquet", sx), ("dmeta.parquet", dm)):
+        path = os.path.join(SIDECAR_DIR, fname)
+        if os.path.exists(path):
+            old = pq.read_table(path)
+            merged = dict(zip(old["key"].to_pylist(), old["code"].to_pylist()))
+            merged.update(mapping)
+        else:
+            merged = mapping
+        keys = sorted(merged)
+        table = pa.table(
+            {"key": keys, "code": [merged[k] for k in keys]}
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    _SIDECAR_READY.add(sf_dir)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same ingest fan-out rationale as persons_a: shingling explodes
     # each doc 100-200x, so scan partitioning must not serialize it.
@@ -547,8 +625,11 @@ WHERE (1.0 - CAST(levenshtein(fa, fb) AS DOUBLE) / greatest(strlen(fa), strlen(f
 
 
 def lk_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fuzzy ladder (Double Metaphone has no SQL equivalent ->
-    rows-only oracle check)."""
+    """Full fuzzy ladder, hash-checked: the DuckDB twin replays the
+    cascade + birthdate gate + CASE 1/2/3 ladder with DuckDB's own
+    levenshtein/jaro_winkler_similarity; the phonetic codes come from
+    the golden-tested Python-mirror sidecar (ensure_phonetic_sidecar)."""
+    ensure_phonetic_sidecar(spark, sf_dir)
     pa = prepare_persons(persons_a(spark, sf_dir), include_middle=False)
     pb = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
     out = match_fuzzy(pa, pb, include_middle=False)
@@ -557,8 +638,9 @@ def lk_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lk_fuzzy_pairs_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Algorithm 3 — fuzzy ladder WITH middle name (the Some/None middle
-    rules of fuzzy_compare_names_new, reference mod.rs:101-141). Double
-    Metaphone keeps it rows-only, like the 2-field variant."""
+    rules of fuzzy_compare_names_new, reference mod.rs:101-141),
+    hash-checked like the 2-field variant."""
+    ensure_phonetic_sidecar(spark, sf_dir)
     pa = prepare_persons(persons_a(spark, sf_dir), include_middle=True)
     pb = prepare_persons(persons_b(spark, sf_dir), include_middle=True)
     out = match_fuzzy(pa, pb, include_middle=True)
@@ -568,14 +650,194 @@ def lk_fuzzy_pairs_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lk_algo7_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Algorithm 7 (deprecated in the reference; shipped for surface
     completeness): ±1-year banded blocking + 0.7·name + 0.3·date
-    composite. Metaphone in the name ladder keeps it rows-only; the
-    composite arithmetic is differential-tested in tests/test_algo7.py."""
+    composite, hash-checked against a DuckDB replay of the disjoint
+    branch cascade + composite arithmetic (also differential-tested in
+    tests/test_algo7.py)."""
     from .operators.fuzzy_join import match_algo7
 
+    ensure_phonetic_sidecar(spark, sf_dir)
     pa = prepare_persons(persons_a(spark, sf_dir), include_middle=False)
     pb = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
     out = match_algo7(pa, pb)
     return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+
+
+# --- DuckDB twin of the fuzzy ladder -----------------------------------------
+# Names in the fixture pools are ASCII, so normalize_text == lower() and the
+# byte-denominator Levenshtein == the char one (same convention as every other
+# lk_* oracle). soundex4 / Double Metaphone come from the sidecar maps.
+
+
+def _full_sql(p: str, include_middle: bool) -> str:
+    """normalize_simple'd full name (missing middle -> double space)."""
+    if include_middle:
+        parts = (
+            f"{p}.first_name || ' ' || coalesce({p}.middle_name, '')"
+            f" || ' ' || {p}.last_name"
+        )
+    else:
+        parts = f"{p}.first_name || ' ' || {p}.last_name"
+    return f"trim(lower({parts}))"
+
+
+def _fuzzy_keys_cte(side: str, src: str, include_middle: bool) -> str:
+    full = _full_sql("p", include_middle)
+    return f"""
+k{side} AS (
+  SELECT p.id, p.birthdate, CAST(year(p.birthdate) AS INT) AS by,
+    {_INIT_SQL.format(col="p.first_name")} AS fi,
+    {_INIT_SQL.format(col="p.last_name")} AS li,
+    sxm.code AS sx,
+    lower(p.first_name) AS s_first,
+    lower(coalesce(p.middle_name, '')) AS s_mid,
+    lower(p.last_name) AS s_last,
+    {full} AS fullname,
+    coalesce(dmm.code, '') AS dm
+  FROM {src} p
+  LEFT JOIN sxm ON lower(p.last_name) = sxm.key
+  LEFT JOIN dmm ON {full} = dmm.key
+)"""
+
+
+_SIDECAR_CTES = f"""
+sxm AS (SELECT key, code FROM read_parquet('{SIDECAR_DIR}/soundex4.parquet')),
+dmm AS (SELECT key, code FROM read_parquet('{SIDECAR_DIR}/dmeta.parquet'))"""
+
+# The bkey fallback cascade (fuzzy_join.candidates_bkey_cascade,
+# reference mod.rs:1033-1113): branch N+1 only for probes branch N left
+# EMPTY. (The hot-block cap is a no-op at oracle scale: no sf0.01 block
+# approaches 10k build rows.)
+_CASCADE_CTES = """
+b1 AS (SELECT l.id AS id_1, r.id AS id_2 FROM ka l JOIN kb r
+        ON l.by = r.by AND l.fi = r.fi AND l.li = r.li AND l.sx = r.sx),
+l2 AS (SELECT * FROM ka l WHERE NOT EXISTS (SELECT 1 FROM kb r
+        WHERE l.by = r.by AND l.fi = r.fi AND l.li = r.li AND l.sx = r.sx)),
+b2 AS (SELECT l.id AS id_1, r.id AS id_2 FROM l2 l JOIN kb r
+        ON r.fi = '?' AND l.by = r.by AND l.li = r.li AND l.sx = r.sx),
+l3 AS (SELECT * FROM l2 l WHERE NOT EXISTS (SELECT 1 FROM kb r
+        WHERE r.fi = '?' AND l.by = r.by AND l.li = r.li AND l.sx = r.sx)),
+b3 AS (SELECT l.id AS id_1, r.id AS id_2 FROM l3 l JOIN kb r
+        ON l.by = r.by AND l.fi = r.fi AND l.li = r.li
+       AND substr(l.sx, 1, 2) || '00' = r.sx),
+cands AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)"""
+
+# Algo-7 branch set (fuzzy_join.candidates_algo7, mod.rs:1151-1221):
+# exact key; '?' fallback; ±1-year band UNCONDITIONALLY; coarse soundex
+# only when 1-3 all empty. Branches are disjoint by construction.
+_ALGO7_CANDS_CTES = """
+b1 AS (SELECT l.id AS id_1, r.id AS id_2 FROM ka l JOIN kb r
+        ON l.by = r.by AND l.fi = r.fi AND l.li = r.li AND l.sx = r.sx),
+l2 AS (SELECT * FROM ka l WHERE NOT EXISTS (SELECT 1 FROM kb r
+        WHERE l.by = r.by AND l.fi = r.fi AND l.li = r.li AND l.sx = r.sx)),
+b2 AS (SELECT l.id AS id_1, r.id AS id_2 FROM l2 l JOIN kb r
+        ON r.fi = '?' AND l.by = r.by AND l.li = r.li AND l.sx = r.sx),
+l3 AS (SELECT * FROM l2 l WHERE NOT EXISTS (SELECT 1 FROM kb r
+        WHERE r.fi = '?' AND l.by = r.by AND l.li = r.li AND l.sx = r.sx)),
+bpm AS (SELECT l.id AS id_1, r.id AS id_2 FROM ka l JOIN kb r
+        ON (r.by = l.by - 1 OR r.by = l.by + 1)
+       AND l.fi = r.fi AND l.li = r.li AND l.sx = r.sx),
+l4 AS (SELECT * FROM l3 l WHERE NOT EXISTS
+        (SELECT 1 FROM bpm WHERE bpm.id_1 = l.id)),
+b4 AS (SELECT l.id AS id_1, r.id AS id_2 FROM l4 l JOIN kb r
+        ON l.by = r.by AND l.fi = r.fi AND l.li = r.li
+       AND substr(l.sx, 1, 2) || '00' = r.sx),
+cands AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+          UNION ALL SELECT * FROM bpm UNION ALL SELECT * FROM b4)"""
+
+
+def _ladder_ctes(include_middle: bool, gate: str, extra_pair_cols: str = "") -> str:
+    """Birthdate gate + kernel columns + CASE 1/2/3 decision, shared by
+    the fuzzy and algo7 oracles. Mirrors functions/fuzzy.py exactly:
+    byte-denominator lev (ASCII: strlen == octet_length), strsim-parity
+    JW (DuckDB's boost threshold only diverges below jaro 0.7, unreachable
+    alongside the 85-gates), metaphone equality, mean-of-three."""
+    fld = "levenshtein(a.s_first, b.s_first) <= 2 AND levenshtein(a.s_last, b.s_last) <= 2"
+    if include_middle:
+        fld += " AND levenshtein(a.s_mid, b.s_mid) <= 2"
+    return f"""
+pairs AS (
+  SELECT c.id_1, c.id_2, a.fullname AS fa, b.fullname AS fb,
+    a.dm AS dma, b.dm AS dmb,
+    ({fld}) AS fld_ok{extra_pair_cols}
+  FROM cands c JOIN ka a ON a.id = c.id_1 JOIN kb b ON b.id = c.id_2
+  WHERE {gate}
+    AND trim(a.fullname) <> '' AND trim(b.fullname) <> ''
+),
+kern AS (
+  SELECT *,
+    (1.0 - CAST(levenshtein(fa, fb) AS DOUBLE)
+           / greatest(strlen(fa), strlen(fb))) * 100.0 AS lev,
+    jaro_winkler_similarity(fa, fb) * 100.0 AS jw,
+    CASE WHEN dma <> '' AND dma = dmb THEN 100.0 ELSE 0.0 END AS mp
+  FROM pairs
+),
+lab AS (
+  SELECT *, (lev + jw + mp) / 3.0 AS avgscore,
+    (CASE WHEN lev >= 85.0 THEN 1 ELSE 0 END
+     + CASE WHEN jw >= 85.0 THEN 1 ELSE 0 END
+     + CASE WHEN mp = 100.0 THEN 1 ELSE 0 END) AS passes
+  FROM kern
+),
+dec AS (
+  SELECT *,
+    CASE WHEN fa = fb THEN 'DIRECT MATCH'
+         WHEN lev >= 85.0 AND jw >= 85.0 AND mp = 100.0 THEN 'CASE 1'
+         WHEN passes >= 2 AND avgscore >= 88.0 AND fld_ok THEN 'CASE 3'
+         WHEN passes >= 2 THEN 'CASE 2'
+         ELSE NULL END AS match_case,
+    CASE WHEN fa = fb THEN 100.0 ELSE (lev + jw + mp) / 3.0 END AS rawscore
+  FROM lab
+)"""
+
+
+def _fuzzy_sql(include_middle: bool) -> str:
+    return f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),{_SIDECAR_CTES},
+{_fuzzy_keys_cte("a", "pa", include_middle)},
+{_fuzzy_keys_cte("b", "pb", include_middle)},{_CASCADE_CTES},{_ladder_ctes(
+        include_middle,
+        gate="a.birthdate IS NOT NULL AND a.birthdate = b.birthdate",
+    )}
+SELECT id_1, id_2, round(rawscore, 4) AS score, match_case
+FROM dec WHERE match_case IS NOT NULL
+"""
+
+
+LK_FUZZY_SQL = _fuzzy_sql(include_middle=False)
+LK_FUZZY_MID_SQL = _fuzzy_sql(include_middle=True)
+
+_BD_PCT_SQL = """CAST(CASE
+    WHEN bd1 = bd2 THEN 100.0
+    WHEN abs(datediff('day', bd2, bd1)) = 1 THEN 90.0
+    WHEN year(bd1) = year(bd2) AND (
+         TRY_CAST(year(bd1) || '-' || day(bd1) || '-' || month(bd1) AS DATE) = bd2
+      OR TRY_CAST(year(bd2) || '-' || day(bd2) || '-' || month(bd2) AS DATE) = bd1
+    ) THEN 85.0
+    WHEN year(bd1) = year(bd2) AND month(bd1) = month(bd2) THEN 70.0
+    WHEN year(bd1) = year(bd2) THEN 50.0
+    WHEN abs(year(bd1) - year(bd2)) = 1 THEN 40.0
+    ELSE 0.0
+  END AS DOUBLE)"""
+
+LK_ALGO7_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),{_SIDECAR_CTES},
+{_fuzzy_keys_cte("a", "pa", include_middle=False)},
+{_fuzzy_keys_cte("b", "pb", include_middle=False)},{_ALGO7_CANDS_CTES},{_ladder_ctes(
+    include_middle=False,
+    gate="a.birthdate IS NOT NULL AND b.birthdate IS NOT NULL",
+    extra_pair_cols=", a.birthdate AS bd1, b.birthdate AS bd2",
+)},
+named AS (
+  SELECT id_1, id_2, match_case AS name_case, rawscore AS name_score,
+    {_BD_PCT_SQL} AS bd_pct
+  FROM dec WHERE match_case IS NOT NULL
+)
+SELECT id_1, id_2,
+  round(0.7 * name_score + 0.3 * bd_pct, 4) AS score,
+  'fuzzy7,' || name_case || ',birthdate:'
+    || CAST(CAST(round(bd_pct) AS INT) AS VARCHAR) || '%' AS match_case
+FROM named
+"""
 
 
 def lk_household_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,6 +1592,9 @@ ORACLES: dict[str, str] = {
     "lk_blocking_keys": LK_BLOCKING_SQL,
     "lk_blocking_quality": LK_BLOCKING_QUALITY_SQL.format(pa=PERSONS_A_SQL, pb=PERSONS_B_SQL),
     "lk_lev_jw_scores": LK_LEV_JW_SQL,
+    "lk_fuzzy_pairs": LK_FUZZY_SQL,
+    "lk_fuzzy_pairs_mid": LK_FUZZY_MID_SQL,
+    "lk_algo7_pairs": LK_ALGO7_SQL,
     "lk_household_pct": LK_HOUSEHOLD_SQL,
     "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,
     "lk_clusters": LK_CLUSTERS_SQL,
@@ -1348,9 +1613,10 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,
-    # rows-only (non-SQL-expressible): lk_fuzzy_pairs + lk_fuzzy_pairs_mid
-    # (Double Metaphone), dd_simhash (xxhash64), mm_media_features
-    # (mapInPandas stub), lk_run_summary (driver-side KPI assembly).
+    # The fuzzy-ladder family (lk_fuzzy_pairs*, lk_algo7_pairs,
+    # wp_stream_linkage) is hash-checked via the phonetic sidecar maps
+    # (ensure_phonetic_sidecar): the codes are the only taken-as-given
+    # inputs; cascade/gate/ladder/score arithmetic all replay in DuckDB.
 }
 
 
@@ -1469,12 +1735,16 @@ def wp_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental streaming linkage: side-A pages drained as a file
     stream in micro-batches, fuzzy-matched per batch against the pinned
     side-B corpus (streaming/linkage.py). Must equal the one-shot batch
-    fuzzy pipeline pair-for-pair; the fuzzy ladder keeps it rows-only
-    (no SQL metaphone), and the batch twin lk_fuzzy_pairs guards the
-    scoring semantics."""
+    fuzzy pipeline pair-for-pair — the cascade is probe-row-local and
+    hot-block hotness is judged on the pinned build side, so splitting
+    the probe side into micro-batches is exact — which means the batch
+    ladder oracle (LK_FUZZY_SQL) applies to the streaming output too,
+    the same way dd_stream_minhash carries the batch MinHash oracle."""
     import tempfile
 
     from .streaming.linkage import incremental_linkage
+
+    ensure_phonetic_sidecar(spark, sf_dir)
 
     work = tempfile.mkdtemp(prefix="wp_stream_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
@@ -1666,6 +1936,7 @@ ORACLES.update(
     {
         "wp_extract_entities": WP_EXTRACT_SQL,
         "wp_linkage_pairs": LK_ALGO1_SQL,
+        "wp_stream_linkage": LK_FUZZY_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,

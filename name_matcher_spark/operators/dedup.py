@@ -170,14 +170,21 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col(id_col).alias("id_a"), "gram")
     b = sh.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+        # Prune BEFORE the gram self-join: Catalyst will not push a semi
+        # join below an aggregation, so filtering after groupBy would
+        # still generate (and aggregate) the full quadratic gram-pair
+        # stream. Restricting each side to docs that appear in some
+        # candidate shrinks the join inputs (broadcast semi joins — the
+        # candidate id set is small next to the corpus)…
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "leftsemi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "leftsemi")
+    pair_grams = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        # …and the pair-level semi join runs on the exploded stream
+        # UPSTREAM of the aggregate, so only candidate pairs are counted.
+        pair_grams = pair_grams.join(candidates, ["id_a", "id_b"], "leftsemi")
+    inter = pair_grams.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (

@@ -109,14 +109,31 @@ def run_summary(
 
 def algo_overlap_stats(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
     """A1∩A2-style overlap: pairs in both / only-first / only-second
-    (main.rs:599-605, the XLSX summary's set intersection)."""
-    spark = pairs_a.sparkSession
-    ka = pairs_a.select("id_1", "id_2")
-    kb = pairs_b.select("id_1", "id_2")
-    both = ka.intersect(kb).count()
-    only_a = ka.exceptAll(ka.intersect(kb)).count()
-    only_b = kb.exceptAll(kb.intersect(ka)).count()
-    return spark.createDataFrame(
-        [("both", both), ("only_first", only_a), ("only_second", only_b)],
-        "bucket string, n_pairs long",
+    (main.rs:599-605, the XLSX summary's set intersection).
+
+    One lazy plan — full-outer join on the distinct pair keys with
+    presence flags, a single aggregate, stack-melted to rows (same
+    discipline as run_summary). The old intersect/exceptAll form
+    triggered ~5 driver actions, each re-running both upstream pair
+    pipelines unless the caller had checkpointed."""
+    ka = pairs_a.select("id_1", "id_2").distinct().withColumn("in_a", F.lit(1))
+    kb = pairs_b.select("id_1", "id_2").distinct().withColumn("in_b", F.lit(1))
+    flags = ka.join(kb, ["id_1", "id_2"], "full_outer")
+    agg = flags.agg(
+        F.coalesce(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")),
+            F.lit(0),
+        ).alias("both"),
+        F.coalesce(
+            F.sum((F.col("in_b").isNull()).cast("long")), F.lit(0)
+        ).alias("only_first"),
+        F.coalesce(
+            F.sum((F.col("in_a").isNull()).cast("long")), F.lit(0)
+        ).alias("only_second"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'both', both, 'only_first', only_first,"
+            " 'only_second', only_second) AS (bucket, n_pairs)"
+        )
     )

@@ -32,9 +32,18 @@ TEXTS = st.lists(
 )
 
 BATCH_SETTINGS = settings(
-    max_examples=8,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
+)
+
+PAIRS = st.lists(
+    st.tuples(
+        st.one_of(st.text(alphabet=INTERESTING, max_size=16), st.text(max_size=16)),
+        st.one_of(st.text(alphabet=INTERESTING, max_size=16), st.text(max_size=16)),
+    ),
+    min_size=40,
+    max_size=40,
 )
 
 
@@ -75,3 +84,25 @@ def test_kernels_match_python_on_arbitrary_unicode(spark, texts):
             "" if s is None else double_metaphone(normalize_for_phonetic_py(s))
         )
         assert r.jdm == expected_dm, repr(s)
+
+
+@given(PAIRS)
+@BATCH_SETTINGS
+def test_jw_kernel_matches_python_on_arbitrary_unicode(spark, pairs):
+    """Differential the compiled NmsJaroWinkler kernel against the
+    scalar strsim-parity mirror on arbitrary Unicode pairs (the curated
+    corpora in test_similarity.py only cover name-like text). Both sides
+    evaluate the same IEEE expression order, so equality is exact."""
+    from name_matcher_spark.functions import similarity
+
+    if not similarity.JVM_JW_ENABLED:
+        pytest.skip("JVM kernels not registered (jar build unavailable)")
+
+    df = spark.createDataFrame(pairs, "a string, b string").coalesce(1)
+    rows = df.select(
+        "a", "b", F.call_udf("nms_jw_pct", "a", "b").alias("jjw")
+    ).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        expected = similarity.jaro_winkler(r.a or "", r.b or "") * 100.0
+        assert r.jjw == expected, (repr(r.a), repr(r.b))

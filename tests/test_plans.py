@@ -101,6 +101,51 @@ def test_registered_ngram_variant_is_capped(spark):
     assert "LeftSemi" in plan
 
 
+def test_ngram_candidate_filter_below_aggregate(spark):
+    """With LSH candidates supplied, the candidate semi join must run on
+    the exploded gram-pair stream BELOW the intersection aggregate —
+    Catalyst won't push a semi join through an aggregation, so placing
+    it above would still generate and aggregate the full quadratic
+    stream only to throw it away."""
+    from name_matcher_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    plan = (
+        ngram_jaccard_pairs(docs, candidates=cand)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # In the tree string the inter-count Aggregate (grouping id_a, id_b)
+    # prints before (above) its children; every LeftSemi must appear
+    # below it, none above.
+    agg_pos = plan.index("Aggregate [id_a")
+    semi_pos = plan.index("LeftSemi")
+    assert agg_pos < semi_pos, "candidate semi join sits above the aggregate"
+
+
+def test_overlap_stats_single_lazy_plan(spark):
+    """algo_overlap_stats must be ONE lazy plan (no driver actions
+    inside): building the DataFrame must run zero Spark jobs."""
+    from name_matcher_spark.sources.export import algo_overlap_stats
+
+    a = spark.createDataFrame([(1, 2), (3, 4)], "id_1 long, id_2 long")
+    b = spark.createDataFrame([(1, 2), (5, 6)], "id_1 long, id_2 long")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = algo_overlap_stats(a, b)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "algo_overlap_stats triggered driver actions eagerly"
+    rows = {r.bucket: r.n_pairs for r in out.collect()}
+    assert rows == {"both": 1, "only_first": 1, "only_second": 1}
+
+
 def test_broadcast_for_small_dimension(spark):
     """Small dims broadcast (no shuffle of the fact side)."""
     n = spark.read.parquet(f"{SF}/nation.parquet")

@@ -4,6 +4,31 @@ Run once (or let session.get_spark trigger it lazily): javac against
 the installed Spark jars, then jar-up. Output lands in
 name_matcher_spark/javaudf/nms-udfs.jar and is picked up by
 get_spark via spark.jars.
+
+Table regeneration (only needed on a CPython minor-version bump):
+
+* NmsNormalizeText.CCC_RANGES — codepoints with canonical combining
+  class != 0, straight from unicodedata::
+
+      rs = [cp for cp in range(0x110000)
+            if not 0xD800 <= cp <= 0xDFFF
+            and unicodedata.combining(chr(cp))]
+
+* NmsNormalizeText.CI_RANGES / CASED_RANGES — CPython's
+  Case_Ignorable / Cased sets for the Final_Sigma context scan,
+  probed empirically from str.lower() itself (CPython does not
+  expose the properties; see handle_capital_sigma in
+  Objects/unicodeobject.c)::
+
+      p1 = (c + 'Σ').lower().endswith('ς')        # cased and not CI
+      p2 = ('X' + c + 'Σ').lower().endswith('ς')  # CI, or p1
+      ci[cp] = (not p1) and p2
+      cased[cp] = p1                               # valid for non-CI
+
+  Both scans in NmsNormalizeText.isFinalSigma only ever test
+  cased() on non-CI codepoints, so the two tables fully determine
+  CPython's sigma folding. Collapse each set to flat
+  [lo, hi, ...] ranges and paste into the Java source.
 """
 
 from __future__ import annotations
