@@ -1525,6 +1525,89 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: deterministic BMP images / WAV audio are
+    synthesized per doc_id (closed-form pixel/sample values), serialized
+    to actual file bytes, then parsed back by the pure-numpy decoders in
+    operators/multimodal.py inside mapInPandas. The DuckDB twin computes
+    the expected pixel/sample statistics straight from the generative
+    formula — so the byte-level parse (headers, padding, bottom-up rows,
+    chunk walk) is what the hash check exercises. No rounding on either
+    side: all arithmetic is exact-integer-in-double plus one
+    correctly-rounded sqrt, so the doubles are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        extract_decoded_features,
+    )
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 4 + mid % 5, 3 + mid % 4
+                    y, x = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (13 * mid + 2 * x + y) % 256,
+                            (11 * mid + x + 2 * y) % 256,
+                            (7 * mid + 3 * x + 5 * y) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    rows.append((mid, "image/bmp", encode_bmp(px)))
+                else:
+                    n = 64 + mid % 64
+                    rate = 8000 + (mid % 4) * 4000
+                    i = np.arange(n)
+                    v = ((31 * mid + 17 * i) % 65536 - 32768).astype(np.int16)
+                    rows.append((mid, "audio/wav", encode_wav(v, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "content"])
+
+    media = d.mapInPandas(gen, "media_id long, mime string, content binary")
+    return extract_decoded_features(media)
+
+
+MM_DECODE_SQL = """
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+bmp AS (SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+        FROM m WHERE media_id % 2 = 0),
+bx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM bmp),
+bxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM bx),
+bstats AS (
+  SELECT media_id, 'image/bmp' AS mime,
+    CAST(min(w) AS BIGINT) AS d1, CAST(min(h) AS BIGINT) AS d2,
+    avg(CAST((13 * media_id + 2 * x + y) % 256 AS DOUBLE)) AS f1,
+    avg(CAST((11 * media_id + x + 2 * y) % 256 AS DOUBLE)) AS f2,
+    avg(CAST((7 * media_id + 3 * x + 5 * y) % 256 AS DOUBLE)) AS f3
+  FROM bxy GROUP BY media_id
+),
+wav AS (SELECT media_id, 64 + media_id % 64 AS n,
+               8000 + (media_id % 4) * 4000 AS rate
+        FROM m WHERE media_id % 2 = 1),
+wi AS (SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM wav),
+wv AS (SELECT media_id, n, rate,
+         CAST((31 * media_id + 17 * i) % 65536 - 32768 AS DOUBLE) AS v
+       FROM wi),
+wstats AS (
+  SELECT media_id, 'audio/wav' AS mime,
+    CAST(min(n) AS BIGINT) AS d1, CAST(min(rate) AS BIGINT) AS d2,
+    sqrt(avg(v * v)) AS f1,
+    max(abs(v)) / 32768.0 AS f2,
+    avg(v) / 32768.0 AS f3
+  FROM wv GROUP BY media_id
+)
+SELECT * FROM bstats UNION ALL SELECT * FROM wstats
+"""
+
+
 _HEXVAL = "(strpos('0123456789abcdef', substr(digest, {i}, 1)) - 1)"
 
 MM_MEDIA_SQL = f"""
@@ -1577,11 +1660,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "mm_media_features": mm_media_features,
+    "mm_decode_media": mm_decode_media,
 }
 
 ORACLES: dict[str, str] = {
     "q_pricing_summary": Q_PRICING_SQL,
     "mm_media_features": MM_MEDIA_SQL,
+    "mm_decode_media": MM_DECODE_SQL,
     "q_shipping_priority": Q_SHIPPING_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_SQL,
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,

@@ -37,12 +37,20 @@ def _with_row_id(out: DataFrame) -> DataFrame:
     Instead: repartitionByRange gives a total order across ascending
     partition ids, row_number ranks within each partition, and a tiny
     driver-side count map supplies the per-partition offsets (the map
-    is O(partitions), never O(rows))."""
+    is O(partitions), never O(rows)).
+
+    localCheckpoint (not persist) pins the EXACT partitioning the
+    offsets were measured on: lineage is truncated, so an executor loss
+    can never silently re-run the (sampled, nondeterministic) range
+    partitioning and mismatch the offset map — it fails loudly instead.
+    It also leaves no CacheManager entry behind (a persist here leaked
+    one cache entry per call; checkpoint blocks are GC-reclaimed with
+    the DataFrame)."""
     n_parts = max(out.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (
         out.repartitionByRange(n_parts, "uuid", "hh_id")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["cnt"]

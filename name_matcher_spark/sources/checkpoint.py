@@ -26,11 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def fingerprint_df(df: DataFrame) -> dict:
-    """Content fingerprint of an external input: row count + schema.
-    Cheap relative to any stage that consumes the input (one count job;
-    on a real lake it's a snapshot/metadata read)."""
-    return {"row_count": df.count(), "schema": df.schema.simpleString()}
+def fingerprint_df(df: DataFrame, content: bool = True) -> dict:
+    """Content fingerprint of an external input.
+
+    ``content=True`` (default) folds an order-insensitive content
+    digest in — bit_xor of xxhash64 over every column — so edited rows
+    or reordered sources invalidate the checkpoint even when row count
+    and schema are preserved. Count + digest run as ONE aggregation job
+    (bit_xor, unlike sum, cannot overflow under ANSI mode).
+
+    ``content=False`` drops to row count + schema only: the right call
+    when the input is a snapshot/metadata read on a real lake and a
+    full-column scan per resume is too expensive — with the explicit
+    caveat that content-preserving edits then go undetected."""
+    if not content:
+        return {"row_count": df.count(), "schema": df.schema.simpleString()}
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("digest"),
+    ).collect()[0]
+    return {
+        "row_count": row["n"],
+        "schema": df.schema.simpleString(),
+        "content_digest": None if row["digest"] is None else int(row["digest"]),
+    }
 
 
 class StageCheckpoint:

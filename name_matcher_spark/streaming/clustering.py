@@ -30,11 +30,70 @@ from pyspark.sql import functions as F
 from ..operators.clustering import connected_components
 
 
+def recover_store(store_dir: str) -> None:
+    """Crash recovery for the rename-pair replace protocol: if a crash
+    landed between ``rename(store, store.old)`` and
+    ``rename(store.next, store)``, the last complete store survives as
+    ``.old`` — restore it. Idempotent; safe to call before every read."""
+    old = f"{store_dir}.old"
+    if not os.path.exists(store_dir) and os.path.exists(old):
+        os.rename(old, store_dir)
+
+
+def apply_cluster_batch(
+    pairs_df: DataFrame, labels_dir: str, threshold: float = 0.95
+) -> None:
+    """One wave of the incremental-clustering merge: fold a batch of
+    (id_1, id_2, confidence) pairs into the label store at
+    ``labels_dir``. Idempotent (min-label components are absorbing), so
+    both the streaming foreachBatch and an in-line caller (the
+    long-lived linkage query folds clustering into its own batch; see
+    streaming/linkage.py) can retry it safely."""
+    if pairs_df.isEmpty():
+        return
+    spark = pairs_df.sparkSession
+    recover_store(labels_dir)
+    new_edges = pairs_df.filter(F.col("confidence") >= threshold).select(
+        (F.col("id_1") * 2).alias("src"),
+        (F.col("id_2") * 2 + 1).alias("dst"),
+    )
+    tmp = f"{labels_dir}.next"
+    # Missing store == first batch, checked EXPLICITLY: any other
+    # read failure (corrupt parquet, transient IO) must fail the
+    # batch so the checkpoint retries — swallowing it would silently
+    # rebuild the store from this batch alone, discarding all
+    # accumulated cluster state.
+    if os.path.exists(labels_dir):
+        star = spark.read.parquet(labels_dir).select(
+            F.col("node").alias("src"), F.col("cluster_id").alias("dst")
+        )
+        edges = new_edges.unionByName(star)
+    else:
+        edges = new_edges
+    comp = connected_components(edges)
+    comp.write.mode("overwrite").parquet(tmp)
+    # Atomic replace: a reader (or a retry) sees either the old or
+    # the new complete store, never a half-written one. A crash
+    # between the two renames leaves only .old — recover_store
+    # restores it on the next batch (and read_clusters at startup).
+    import shutil
+
+    old = f"{labels_dir}.old"
+    if os.path.exists(labels_dir):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(labels_dir, old)
+    os.rename(tmp, labels_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def incremental_clusters(
     pairs_stream: DataFrame,
     labels_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.95,
+    available_now: bool = True,
 ):
     """Start the streaming query. ``pairs_stream`` rows carry
     (id_1, id_2, confidence); the store at ``labels_dir`` holds
@@ -43,45 +102,22 @@ def incremental_clusters(
     Returns the StreamingQuery handle."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        new_edges = batch_df.filter(F.col("confidence") >= threshold).select(
-            (F.col("id_1") * 2).alias("src"),
-            (F.col("id_2") * 2 + 1).alias("dst"),
-        )
-        tmp = f"{labels_dir}.next"
-        try:
-            star = spark.read.parquet(labels_dir).select(
-                F.col("node").alias("src"), F.col("cluster_id").alias("dst")
-            )
-            edges = new_edges.unionByName(star)
-        except Exception:  # noqa: BLE001 - first batch: no store yet
-            edges = new_edges
-        comp = connected_components(edges)
-        comp.write.mode("overwrite").parquet(tmp)
-        # Atomic replace: a reader (or a retry) sees either the old or
-        # the new complete store, never a half-written one.
-        import shutil
+        apply_cluster_batch(batch_df, labels_dir, threshold)
 
-        old = f"{labels_dir}.old"
-        if os.path.exists(labels_dir):
-            os.rename(labels_dir, old)
-        os.rename(tmp, labels_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-
-    return (
-        pairs_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = pairs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    # else: default ASAP micro-batch trigger (long-lived mode) — the
+    # trigger API rejects availableNow=False explicitly.
+    return writer.start()
 
 
 def read_clusters(spark, labels_dir: str) -> DataFrame:
     """Decode the store back to the (side, id, cluster_id) contract of
     ``cluster_pairs``."""
+    recover_store(labels_dir)
     return spark.read.parquet(labels_dir).select(
         F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
         F.floor(F.col("node") / 2).cast("long").alias("id"),

@@ -64,7 +64,13 @@ def incremental_dedup(
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
             )
-            try:
+            # Missing store == first batch, checked explicitly: any
+            # OTHER read failure (corrupt parquet, transient IO) must
+            # fail the batch so the checkpoint retries, instead of
+            # silently dropping every accumulated bucket.
+            import os
+
+            if os.path.exists(store_dir):
                 store = spark.read.parquet(store_dir).filter(
                     F.col("batch_id") < batch_id
                 )
@@ -78,7 +84,7 @@ def incremental_dedup(
                     )
                 )
                 pairs = self_pairs.unionByName(cross_pairs)
-            except Exception:  # noqa: BLE001 - first batch: no store yet
+            else:
                 pairs = self_pairs
             (
                 pairs.distinct()

@@ -39,12 +39,22 @@ def incremental_linkage(
     include_middle: bool = False,
     max_block_rows: int | None = 10_000,
     available_now: bool = True,
+    cluster_labels_dir: str | None = None,
+    cluster_threshold: float = 0.95,
 ):
     """Start the streaming query: pages in, matched pairs out.
 
     ``reference_prepared`` must be the output of ``prepare_persons``
     (same ``include_middle``); it is persisted here once and probed by
     every micro-batch. Returns the StreamingQuery handle.
+
+    ``cluster_labels_dir``: when set, each batch ALSO folds its pairs
+    into the incremental cluster label store (streaming/clustering.py's
+    apply_cluster_batch) inside the same foreachBatch — the long-lived
+    (non-drain) deploy mode uses this, because its pairs sink is
+    partition-appended and cannot double as a file-stream source that
+    starts before the first batch exists. Both writes are idempotent,
+    so a retried batch redoes both safely.
     """
     ref = reference_prepared
     lvl = ref.storageLevel
@@ -73,13 +83,25 @@ def incremental_linkage(
                 .partitionBy("batch_id")
                 .parquet(output_dir)
             )
+            if cluster_labels_dir is not None:
+                from .clustering import apply_cluster_batch
+
+                apply_cluster_batch(
+                    batch_df.sparkSession.read.parquet(output_dir).filter(
+                        F.col("batch_id") == batch_id
+                    ),
+                    cluster_labels_dir,
+                    cluster_threshold,
+                )
         finally:
             for df in pins:
                 df.unpersist()
 
-    return (
-        pages_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=available_now)
-        .start()
+    writer = pages_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    # else: default ASAP micro-batch trigger (long-lived mode) — the
+    # trigger API rejects availableNow=False explicitly.
+    return writer.start()

@@ -1,0 +1,107 @@
+"""Real multimodal decode: pure-numpy BMP/WAV parsers round-trip and
+survive malformed input; the mapInPandas extraction path matches the
+generative formulas (the sf-scale twin is the mm_decode_media oracle).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from name_matcher_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    extract_decoded_features,
+)
+
+
+def test_bmp_round_trip_with_padding():
+    # w=5 -> 15-byte rows -> 1 byte padding per row
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_top_down_rows():
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    data = bytearray(encode_bmp(px))
+    # flip height sign -> top-down; pixel rows must be re-flipped to match
+    h = struct.unpack_from("<i", data, 22)[0]
+    struct.pack_into("<i", data, 22, -h)
+    assert np.array_equal(decode_bmp(bytes(data)), px[::-1])
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"",
+        b"BM" + b"\x00" * 20,                       # truncated header
+        b"PNG not a bmp at all" + b"\x00" * 60,     # wrong magic
+        encode_bmp(np.zeros((2, 2, 3), np.uint8))[:-3],  # truncated pixels
+    ],
+)
+def test_bmp_malformed_raises(blob):
+    with pytest.raises(ValueError):
+        decode_bmp(blob)
+
+
+def test_bmp_unsupported_bpp_raises():
+    data = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", data, 28, 8)  # bpp 24 -> 8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+
+
+def test_wav_round_trip_and_extra_chunk():
+    v = (np.arange(100) * 331 % 65536 - 32768).astype(np.int16)
+    data = decode_wav(encode_wav(v, 16000))
+    assert data[1] == 16000 and np.array_equal(data[0], v)
+    # insert a LIST chunk between fmt and data: the chunk walk must skip it
+    raw = encode_wav(v, 16000)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 6) + b"INFOab"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    samples, rate = decode_wav(patched)
+    assert rate == 16000 and np.array_equal(samples, v)
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVE",  # no chunks at all
+        struct.pack("<4sI4s", b"RIFF", 4, b"AVI "),  # not WAVE
+    ],
+)
+def test_wav_malformed_raises(blob):
+    with pytest.raises(ValueError):
+        decode_wav(blob)
+
+
+def test_extract_decoded_features_nulls_bad_rows(spark):
+    px = np.full((3, 4, 3), 10, np.uint8)
+    v = np.full(50, 1000, np.int16)
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(px))),
+        (2, "audio/wav", bytearray(encode_wav(v, 8000))),
+        (3, "image/bmp", bytearray(b"garbage not a bmp")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, mime string, content binary")
+    out = {r.media_id: r for r in extract_decoded_features(df).collect()}
+    assert out[1].d1 == 4 and out[1].d2 == 3 and out[1].f1 == 10.0
+    assert out[2].d1 == 50 and out[2].d2 == 8000
+    assert out[2].f1 == pytest.approx(1000.0)
+    assert out[3].d1 is None and out[3].f1 is None  # nulled, task survived
+
+
+def test_extract_decoded_features_unknown_mime_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(b"\xff\xd8\xff"))],
+        "media_id long, mime string, content binary",
+    )
+    with pytest.raises(Exception, match="no codec"):
+        extract_decoded_features(df).collect()

@@ -138,3 +138,21 @@ def test_torn_manifest_forces_recompute(spark, corpus, tmp_path):
     assert not StageCheckpoint(spark, work).is_complete("clusters")
     out = run_linkage(spark, work, pages_a=pages_a, pages_b=pages_b)
     assert json.loads(mp.read_text())["row_count"] == out["clusters"].count()
+
+
+def test_content_digest_catches_value_edit(spark):
+    """fingerprint_df must change when a row VALUE changes even though
+    row count and schema are preserved (the count+schema-only
+    fingerprint served stale checkpoints for such edits)."""
+    from name_matcher_spark.sources.checkpoint import fingerprint_df
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+    fa, fb = fingerprint_df(a), fingerprint_df(b)
+    assert fa["row_count"] == fb["row_count"] and fa["schema"] == fb["schema"]
+    assert fa["content_digest"] != fb["content_digest"]
+    # order-insensitive: same rows, different order -> same digest
+    c = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string")
+    assert fingerprint_df(c)["content_digest"] == fa["content_digest"]
+    # cheap mode documented: no digest key
+    assert "content_digest" not in fingerprint_df(a, content=False)

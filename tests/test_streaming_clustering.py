@@ -70,3 +70,34 @@ def test_incremental_equals_batch_on_fixture(spark, tmp_path):
     diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert diff == 0 and expected.count() > 0
     pairs.unpersist()
+
+
+def test_crash_between_renames_recovers_from_old(spark, tmp_path):
+    """A crash after rename(labels, labels.old) but before
+    rename(labels.next, labels) must not lose the store: recover_store
+    restores the last complete store, and the next drain continues
+    from it (checkpoint retry semantics)."""
+    import os
+
+    from name_matcher_spark.streaming.clustering import recover_store
+
+    src, labels, ck = (str(tmp_path / d) for d in ("src", "labels", "ck"))
+    spark.createDataFrame([(1, 2, 1.0)], SCHEMA).write.parquet(src)
+    _drain(spark, src, labels, ck)
+    before = {(r.side, r.id): r.cluster_id for r in read_clusters(spark, labels).collect()}
+
+    # simulate the torn state
+    os.rename(labels, f"{labels}.old")
+    assert not os.path.exists(labels)
+    recover_store(labels)
+    after = {(r.side, r.id): r.cluster_id for r in read_clusters(spark, labels).collect()}
+    assert after == before
+
+    # and the next wave still merges on top of the recovered store
+    spark.createDataFrame([(1, 9, 1.0)], SCHEMA).write.parquet(
+        src, mode="append"
+    )
+    os.rename(labels, f"{labels}.old")  # tear it again right before the drain
+    _drain(spark, src, labels, ck)
+    final = {(r.side, r.id): r.cluster_id for r in read_clusters(spark, labels).collect()}
+    assert (("b", 9) in final) and final[("b", 9)] == final[("a", 1)]

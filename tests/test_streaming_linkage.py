@@ -125,3 +125,51 @@ def test_streaming_pipeline_pages_to_clusters(spark, tmp_path):
     )
     diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert diff == 0 and expected.count() > 0
+
+
+def test_forever_mode_both_queries_concurrent(spark, tmp_path):
+    """Long-lived (--stream-forever) topology: the cluster label store
+    must keep updating WHILE the linkage query runs. The deploy path
+    folds clustering into the linkage foreachBatch (the partitioned
+    pairs sink cannot double as a file-stream source that starts before
+    the first batch exists); this drives that single-query topology and
+    checks the store materializes mid-flight. Regression for the
+    submit-job bug where clustering was only started after awaiting the
+    never-terminating linkage query."""
+    import os
+    import time
+
+    from name_matcher_spark.streaming.clustering import read_clusters
+
+    spark.catalog.clearCache()
+    a_pd, b_pd, _ = make_dirty(200, seed=43)
+    ref = prepare_persons(spark.createDataFrame(b_pd), include_middle=False)
+    pages = spark.createDataFrame(make_pages(a_pd, "a")).drop("expected_entity")
+    src, pairs_dir, labels, ck1 = (
+        str(tmp_path / d) for d in ("src", "pairs", "labels", "ck1")
+    )
+    pages.write.parquet(src)
+
+    q1 = incremental_linkage(
+        spark.readStream.schema(pages.schema).parquet(src),
+        ref, pairs_dir, ck1, available_now=False,
+        cluster_labels_dir=labels,
+    )
+    try:
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline:
+            if os.path.exists(labels):
+                try:
+                    n = read_clusters(spark, labels).count()
+                except Exception:  # noqa: BLE001 - store mid-replace
+                    n = 0
+                if n > 0:
+                    break
+            time.sleep(2)
+        assert n > 0, "cluster store never updated while linkage query ran"
+        assert q1.isActive
+        # the pairs sink is written too (both outputs from one query)
+        assert spark.read.parquet(pairs_dir).count() > 0
+    finally:
+        q1.stop()

@@ -84,24 +84,44 @@ def run_stream(spark, args) -> dict:
     )
     pages_schema = spark.read.parquet(args.pages_b).schema
     pairs_dir = f"{out}/pairs"
-    q1 = incremental_linkage(
-        spark.readStream.schema(pages_schema).parquet(args.pages_a),
-        ref,
-        pairs_dir,
-        f"{work}/ck_linkage",
-        include_middle=args.include_middle,
-        max_block_rows=args.max_block_rows,
-        available_now=not args.stream_forever,
-    )
-    q1.awaitTermination()
-    q2 = incremental_clusters(
-        spark.readStream.schema("id_1 long, id_2 long, confidence double")
-        .parquet(pairs_dir),
-        f"{out}/clusters",
-        f"{work}/ck_clusters",
-        threshold=args.threshold,
-    )
-    q2.awaitTermination()
+    if args.stream_forever:
+        # Long-lived mode: the linkage query never terminates, so a
+        # second query started after awaiting it would never run (the
+        # old bug: the label store silently never updated). Clustering
+        # is folded into the linkage foreachBatch instead — one query,
+        # pairs sink + label store updated per batch, both idempotent.
+        q1 = incremental_linkage(
+            spark.readStream.schema(pages_schema).parquet(args.pages_a),
+            ref,
+            pairs_dir,
+            f"{work}/ck_linkage",
+            include_middle=args.include_middle,
+            max_block_rows=args.max_block_rows,
+            available_now=False,
+            cluster_labels_dir=f"{out}/clusters",
+            cluster_threshold=args.threshold,
+        )
+        q1.awaitTermination()
+    else:
+        # Drain mode: sequential two-stage is correct (and exercises
+        # the pairs-sink-as-stream-source chaining).
+        q1 = incremental_linkage(
+            spark.readStream.schema(pages_schema).parquet(args.pages_a),
+            ref,
+            pairs_dir,
+            f"{work}/ck_linkage",
+            include_middle=args.include_middle,
+            max_block_rows=args.max_block_rows,
+        )
+        q1.awaitTermination()
+        q2 = incremental_clusters(
+            spark.readStream.schema("id_1 long, id_2 long, confidence double")
+            .parquet(pairs_dir),
+            f"{out}/clusters",
+            f"{work}/ck_clusters",
+            threshold=args.threshold,
+        )
+        q2.awaitTermination()
     return {
         "metric": "submit_job_stream",
         "pairs": spark.read.parquet(pairs_dir).count(),
