@@ -1440,6 +1440,94 @@ SELECT query_id, corpus_id, cosine, rank FROM (
 SIM_LSH_SQL = _lsh_sql()
 
 
+def dd_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the semantic dedup tier): the corpus
+    is the embeddings table plus deterministic perturbed twins (every
+    10th vector + a small arithmetic wobble, cosine ~0.988 vs a 0.51
+    background max), so the operator has real positives to find. The
+    oracle replays the identical LSH planes + twin arithmetic, so
+    signatures, bucket join, and cosine re-check all hash-check."""
+    from .operators.dedup import embedding_neardup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    # orig_id alias: inside this select, "vec_id" would lateral-resolve
+    # to the NEW (+1000000) alias, silently shifting the wobble phase.
+    twins = (
+        base.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("orig_id"), "v")
+        .select(
+            (F.col("orig_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.element_at(F.col("v"), i)
+                + F.lit(0.01) * ((F.col("orig_id") + i) % 7 - 3).cast("double"),
+            ).alias("v"),
+        )
+    )
+    vectors = base.unionByName(twins)
+    return embedding_neardup_pairs(
+        vectors, id_col="vec_id", vec_col="v", dim=64, threshold=0.98
+    )
+
+
+def _embed_neardup_sql() -> str:
+    from .operators.simsearch import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42)
+
+    def sig_expr(t: int) -> str:
+        bits = []
+        for b in range(8):
+            arr = "[" + ",".join(repr(p) for p in planes[t][b]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+
+    sigs = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, {t} AS tbl, {sig_expr(t)} AS sig FROM vecs"
+        for t in range(4)
+    )
+    cos = (
+        "list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v))"
+        " * sqrt(list_dot_product(vb.v, vb.v)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tw AS (
+  SELECT e.vec_id + 1000000 AS vec_id,
+    list_transform(range(1, 65),
+                   i -> v[i] + 0.01 * CAST((e.vec_id + i) % 7 - 3 AS DOUBLE)) AS v
+  FROM e WHERE e.vec_id % 10 = 0
+),
+vecs AS (SELECT * FROM e UNION ALL SELECT * FROM tw),
+sig AS (
+{sigs}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b, round({cos}, 4) AS cosine
+  FROM cand
+  JOIN vecs va ON va.vec_id = cand.id_a
+  JOIN vecs vb ON vb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.98
+"""
+
+
+DD_EMBED_NEARDUP_SQL = _embed_neardup_sql()
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer (corpus rows with
     vec_id % 37 == 1 as centroids), nprobe=4, exact re-rank."""
@@ -1652,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_dup_clusters": dd_dup_clusters,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
+    "dd_embed_neardup": dd_embed_neardup,
     "txt_quality": txt_quality,
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
@@ -1691,6 +1780,7 @@ ORACLES: dict[str, str] = {
     "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
     "dd_simhash": DD_SIMHASH_SQL,
+    "dd_embed_neardup": DD_EMBED_NEARDUP_SQL,
     "txt_quality": TXT_QUALITY_SQL,
     "txt_langid": TXT_LANGID_SQL,
     "txt_fingerprint": TXT_FINGERPRINT_SQL,

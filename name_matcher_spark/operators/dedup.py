@@ -199,6 +199,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.98,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier
+    (semantic near-dups that share no shingles).
+
+    Scale path: hyperplane-LSH signature self-join (simsearch's seeded
+    exact-binary-fraction planes, so the whole path is oracle-checkable)
+    → candidate pairs from shared (table, sig) buckets only — never
+    all-pairs — → exact cosine re-check ``>= threshold``. Recall is the
+    standard LSH trade (P[match found] = 1-(1-p^bits)^tables with
+    p = 1 - angle/pi); more tables buy recall linearly in cost.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from .simsearch import _dot, _norm, hyperplane_signatures
+
+    sigs = hyperplane_signatures(
+        vectors, id_col, vec_col, dim, bits, tables, seed
+    )
+    left = sigs.select(F.col(id_col).alias("id_a"), "table", "sig")
+    right = sigs.select(F.col(id_col).alias("id_b"), "table", "sig")
+    cands = (
+        left.join(right, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64(
     docs: DataFrame,
     id_col: str = "doc_id",

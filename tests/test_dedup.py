@@ -105,3 +105,26 @@ def test_dedup_clusters_transitive_and_canonical(spark):
         assert [i for i in (1, 2, 3) if rows[i].is_canonical] == [2]
         # equal-length tie in the 5~6 cluster -> min id wins
         assert rows[5].is_canonical and not rows[6].is_canonical
+
+
+def test_embedding_neardup_finds_planted_twins(spark):
+    """Planted near-identical vectors must surface through the LSH
+    bucket path with their cosine; unrelated random vectors must not."""
+    import random
+
+    from name_matcher_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(5)
+    rows = []
+    for vid in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((vid, v))
+        if vid % 8 == 0:  # plant a twin with a tiny wobble
+            rows.append((vid + 1000, [x + 0.001 * ((i % 3) - 1) for i, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(df, dim=16, threshold=0.98, tables=8)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {(vid, vid + 1000) for vid in range(0, 40, 8)}
+    assert got == expected
+    for r in out.collect():
+        assert r.cosine >= 0.98

@@ -134,20 +134,28 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--longlev":
         run_longlev()
         return
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    argv = list(sys.argv[1:])
+    levels = (8, 32)
+    if "--levels" in argv:
+        i = argv.index("--levels")
+        levels = tuple(int(x) for x in argv[i + 1].split(","))
+        del argv[i : i + 2]
+    size = int(argv[0]) if argv else 500_000
+    lo, hi = levels
+    factor = hi / lo
     data_dir = ensure_fixture(size)
-    print(f"fixture ready: {data_dir} ({size} rows/side)")
+    print(f"fixture ready: {data_dir} ({size} rows/side), levels {lo}->{hi}")
 
     cand_dir = ensure_candidates(size)
     print(f"candidates ready: {cand_dir}")
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         results[cpus] = run_child(cpus, data_dir, size)
         print(cpus, "->", results[cpus])
 
     kresults = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         proc = subprocess.run(
             [sys.executable, __file__, "--kernel-child", str(cpus), str(cand_dir)],
             capture_output=True, text=True, check=False, timeout=3600,
@@ -157,37 +165,42 @@ def main() -> None:
                 kresults[cpus] = json.loads(line)
         print("kernel", cpus, "->", kresults.get(cpus))
 
-    host = host_calibration()
+    host = host_calibration(levels)
     print("host calibration:", host)
 
-    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-    speedup = t8 / t32
+    tlo, thi = results[lo]["wall_sec"], results[hi]["wall_sec"]
+    speedup = tlo / thi
+    tag = f"{lo}_to_{hi}"
     summary = {
         "input": f"dirty {size}x{size} persons (seeded, FIXTURES.md §6)",
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(speedup, 3),
-        "scaling_efficiency": round(speedup / 4.0, 3),
-        "host_calibration_mp_speedup_8_to_32": host["speedup"],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
+        f"speedup_{tag}": round(speedup, 3),
+        "scaling_efficiency": round(speedup / factor, 3),
+        f"host_calibration_mp_speedup_{tag}": host["speedup"],
     }
     # A kernel child can fail (e.g. heap exhaustion at the 100M-pair
     # point without NMS_DRIVER_MEM=24g); keep the e2e results anyway.
-    if 8 in kresults and 32 in kresults:
-        kspeed = kresults[8]["wall_sec"] / kresults[32]["wall_sec"]
+    if lo in kresults and hi in kresults:
+        kspeed = kresults[lo]["wall_sec"] / kresults[hi]["wall_sec"]
         summary.update({
-            "kernel_local8": kresults[8],
-            "kernel_local32": kresults[32],
-            "kernel_speedup_8_to_32": round(kspeed, 3),
-            "kernel_scaling_efficiency": round(kspeed / 4.0, 3),
+            f"kernel_local{lo}": kresults[lo],
+            f"kernel_local{hi}": kresults[hi],
+            f"kernel_speedup_{tag}": round(kspeed, 3),
+            "kernel_scaling_efficiency": round(kspeed / factor, 3),
             "kernel_efficiency_vs_host_ceiling": round(kspeed / host["speedup"], 3),
         })
     print(json.dumps(summary, indent=2))
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
-    # Merge, don't clobber: --longlev results live in the same file.
+    # Merge, don't clobber: --longlev results and other level pairs
+    # live in the same file (non-default level pairs are namespaced).
     path = out / "scaling_latest.json"
     data = json.loads(path.read_text()) if path.exists() else {}
-    data.update(summary)
+    if levels == (8, 32):
+        data.update(summary)
+    else:
+        data[f"levels_{tag}"] = summary
     path.write_text(json.dumps(data, indent=2))
 
 
@@ -369,20 +382,20 @@ def _burn(_seed: int) -> int:
     return n
 
 
-def host_calibration() -> dict:
+def host_calibration(levels: tuple[int, int] = (8, 32)) -> dict:
     """The box's own scaling ceiling: identical CPU-bound work in plain
-    multiprocessing at 8 vs 32 workers (no Spark anywhere)."""
+    multiprocessing at N vs 4N workers (no Spark anywhere)."""
     import multiprocessing as mp
 
     burn = _burn
     out = {}
-    for procs in (8, 32):
+    for procs in levels:
         with mp.Pool(procs) as pool:
             t0 = time.time()
             r = pool.map(burn, range(procs))
             el = time.time() - t0
         out[procs] = round(sum(r) / el / 1e6, 2)
-    out["speedup"] = round(out[32] / out[8], 3)
+    out["speedup"] = round(out[levels[1]] / out[levels[0]], 3)
     return out
 
 
