@@ -29,12 +29,10 @@ def test_registry_consistency():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every non-oracle query is one of the documented non-SQL ops
+    # since round 3 EVERY registered query carries a DuckDB oracle (the
+    # fuzzy ladder via the phonetic-mirror sidecar) — no rows-only rows
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "lk_fuzzy_pairs", "lk_fuzzy_pairs_mid", "lk_algo7_pairs",
-        "wp_stream_linkage",
-    }
+    assert rows_only == set()
 
 
 @pytest.fixture(scope="module")
