@@ -524,7 +524,7 @@ def lk_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = prepare_persons(persons_b(spark, sf_dir))
     truth = match_algo1(pa, pb).select("id_1", "id_2")
     return blocking_quality(
-        pa, pb, truth, strategies=("birthdate", "year_initials")
+        pa, pb, truth, strategies=("birthdate", "year_initials", "token_prefix")
     )
 
 
@@ -559,6 +559,12 @@ sizes AS (
 ),
 bd AS (SELECT id_1, id_2 FROM ka JOIN kb USING (birthdate)),
 yi AS (SELECT id_1, id_2 FROM ka JOIN kb USING (by, fi, li)),
+tp AS (
+  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
+    ON year(a.birthdate) = year(b.birthdate)
+   AND substr(lower(a.last_name), 1, 2) = substr(lower(b.last_name), 1, 2)
+   AND substr(lower(a.first_name), 1, 1) = substr(lower(b.first_name), 1, 1)
+),
 bd_stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_candidates,
     (SELECT CAST(count(*) AS BIGINT) FROM truth t
@@ -570,6 +576,12 @@ yi_stats AS (
     (SELECT CAST(count(*) AS BIGINT) FROM truth t
       WHERE EXISTS (SELECT 1 FROM yi c WHERE c.id_1 = t.id_1 AND c.id_2 = t.id_2)) AS n_covered
   FROM yi
+),
+tp_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      WHERE EXISTS (SELECT 1 FROM tp c WHERE c.id_1 = t.id_1 AND c.id_2 = t.id_2)) AS n_covered
+  FROM tp
 )
 SELECT 'birthdate' AS strategy, n_candidates, CAST(nt AS BIGINT) AS n_truth, n_covered,
   round(CASE WHEN nt > 0 THEN n_covered / nt ELSE 1.0 END, 6) AS recall,
@@ -580,6 +592,11 @@ SELECT 'year_initials', n_candidates, CAST(nt AS BIGINT), n_covered,
   round(CASE WHEN nt > 0 THEN n_covered / nt ELSE 1.0 END, 6),
   round(1.0 - n_candidates / (n1 * n2), 6)
 FROM yi_stats, sizes
+UNION ALL
+SELECT 'token_prefix', n_candidates, CAST(nt AS BIGINT), n_covered,
+  round(CASE WHEN nt > 0 THEN n_covered / nt ELSE 1.0 END, 6),
+  round(1.0 - n_candidates / (n1 * n2), 6)
+FROM tp_stats, sizes
 """
 
 

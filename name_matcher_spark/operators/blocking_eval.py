@@ -20,14 +20,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _token_prefix_key(df: DataFrame) -> F.Column:
+    """Composite normalized-token-prefix key (north-star blocking
+    family): birth year + first 2 chars of the normalized last name +
+    first 1 of the normalized first name. Coarser than initials+soundex
+    (more recall, more candidates) — exactly the trade blocking_quality
+    exists to measure."""
+    return F.concat_ws(
+        "|",
+        df["birth_year"].cast("string"),
+        F.substring(F.coalesce(df["norm_last"], F.lit("")), 1, 2),
+        F.substring(F.coalesce(df["norm_first"], F.lit("")), 1, 1),
+    )
+
+
 def _candidates_for(p1: DataFrame, p2: DataFrame, strategy: str) -> DataFrame:
+    extra = ["norm_first", "norm_last"] if strategy == "token_prefix" else []
     l = p1.select(
         F.col("id").alias("id_1"), "birthdate", "birth_year",
-        "first_initial", "last_initial", "block_key",
+        "first_initial", "last_initial", "block_key", *extra,
     )
     r = p2.select(
         F.col("id").alias("id_2"), "birthdate", "birth_year",
-        "first_initial", "last_initial", "block_key",
+        "first_initial", "last_initial", "block_key", *extra,
     )
     if strategy == "birthdate":
         cond = [l["birthdate"] == r["birthdate"]]
@@ -39,6 +54,8 @@ def _candidates_for(p1: DataFrame, p2: DataFrame, strategy: str) -> DataFrame:
         ]
     elif strategy == "bkey_exact":
         cond = [l["block_key"] == r["block_key"]]
+    elif strategy == "token_prefix":
+        cond = [_token_prefix_key(l) == _token_prefix_key(r)]
     else:
         raise ValueError(f"unknown blocking strategy: {strategy}")
     return l.join(r, cond).select("id_1", "id_2")

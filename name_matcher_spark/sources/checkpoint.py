@@ -82,6 +82,7 @@ class StageCheckpoint:
                     fps[name] = {
                         "row_count": m.get("row_count"),
                         "schema": m.get("schema"),
+                        "content_digest": m.get("content_digest"),
                     }
                 except json.JSONDecodeError:
                     fps[name] = None
@@ -138,15 +139,41 @@ class StageCheckpoint:
         df.write.mode("overwrite").parquet(str(out))
         persisted = self.spark.read.parquet(str(out))
 
-        per_partition = [
-            {"partition": r["p"], "rows": r["rows"]}
-            for r in persisted.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("rows"))
+        # One job yields the whole lineage record: per-partition row
+        # counts AND per-partition content digests (bit_xor of xxhash64
+        # over every column). bit_xor is associative/commutative, so the
+        # stage digest is the XOR of the partition digests — the same
+        # order-insensitive digest fingerprint_df computes — and a
+        # changed partition is locatable from the manifest alone.
+        from functools import reduce
+
+        per = (
+            persisted.groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.bit_xor(
+                    F.xxhash64(*[F.col(c) for c in persisted.columns])
+                ).alias("digest"),
+            )
             .collect()
+        )
+        per_partition = [
+            {
+                "partition": r["p"],
+                "rows": r["rows"],
+                "digest": None if r["digest"] is None else int(r["digest"]),
+            }
+            for r in per
         ]
+        content_digest = reduce(
+            lambda a, b: a ^ b,
+            [r["digest"] for r in per if r["digest"] is not None],
+            0,
+        )
         manifest: dict = {
             "stage": stage,
-            "row_count": persisted.count(),
+            "row_count": sum(r["rows"] for r in per),
+            "content_digest": int(content_digest),
             "schema": persisted.schema.simpleString(),
             "partitions": sorted(per_partition, key=lambda x: x["partition"]),
             "inputs": inputs or [],

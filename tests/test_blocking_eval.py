@@ -16,8 +16,14 @@ def test_blocking_quality_orderings(spark):
     truth = spark.createDataFrame(
         labeled.rename(columns={"id_a": "id_1", "id_b": "id_2"})[["id_1", "id_2"]]
     )
-    rows = {r.strategy: r for r in blocking_quality(pa, pb, truth).collect()}
-    assert set(rows) == {"birthdate", "year_initials", "bkey_exact"}
+    rows = {
+        r.strategy: r
+        for r in blocking_quality(
+            pa, pb, truth,
+            strategies=("birthdate", "year_initials", "bkey_exact", "token_prefix"),
+        ).collect()
+    }
+    assert set(rows) == {"birthdate", "year_initials", "bkey_exact", "token_prefix"}
     for r in rows.values():
         assert r.n_candidates > 0
         assert 0.0 < r.reduction < 1.0
@@ -32,3 +38,7 @@ def test_blocking_quality_orderings(spark):
     assert rows["birthdate"].recall >= rows["bkey_exact"].recall
     # the typo'd fixture makes exact-key blocking lossy
     assert rows["bkey_exact"].recall < 1.0
+    # token-prefix (year + 2-char last + 1-char first prefixes) sits
+    # between initials and the full phonetic key on tightness
+    assert rows["token_prefix"].n_candidates <= rows["year_initials"].n_candidates
+    assert rows["token_prefix"].recall <= rows["year_initials"].recall

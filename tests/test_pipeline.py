@@ -156,3 +156,28 @@ def test_content_digest_catches_value_edit(spark):
     assert fingerprint_df(c)["content_digest"] == fa["content_digest"]
     # cheap mode documented: no digest key
     assert "content_digest" not in fingerprint_df(a, content=False)
+
+
+def test_stage_chain_invalidates_on_content_edit(spark, tmp_path):
+    """Derived (stage -> stage) fingerprints now carry the content
+    digest: rebuilding an upstream stage with a changed VALUE (same
+    count + schema) must invalidate the downstream stage."""
+    from name_matcher_spark.sources.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(spark, str(tmp_path))
+    a1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    ck.write("up", a1)
+    built = []
+    ck.run_stage("down", lambda: (built.append(1), ck.read("up"))[1], inputs=["up"])
+    assert built == [1]
+    # unchanged upstream -> served from checkpoint
+    ck.run_stage("down", lambda: (built.append(1), ck.read("up"))[1], inputs=["up"])
+    assert built == [1]
+    m = ck.manifest("up")
+    assert isinstance(m["content_digest"], int)
+    assert all("digest" in p for p in m["partitions"])
+    # value edit, same count + schema -> downstream must rebuild
+    a2 = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+    ck.write("up", a2)
+    ck.run_stage("down", lambda: (built.append(1), ck.read("up"))[1], inputs=["up"])
+    assert built == [1, 1]
