@@ -1959,6 +1959,96 @@ def wp_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup (operators/web.py):
+    messy crawl URLs — case-varied schemes/hosts, www prefixes, default
+    and non-default ports, trailing slashes, utm_* tracking params,
+    fragments — are synthesized deterministically per person id, folded
+    by the pure-JVM canonical_url expression, and grouped. The oracle
+    replays the same canonicalization pipeline in DuckDB SQL, so every
+    rule (port logic, param filter+sort, slash trim) hash-checks."""
+    from .operators.web import url_dedup_groups
+
+    p = persons_a(spark, sf_dir).select("id")
+    g = F.col("id") % 300
+    url = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.when(F.col("id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (g % 97).cast("string"), F.lit(".Example"),
+        F.when(F.col("id") % 7 == 0, F.lit(":8080"))
+        .when(F.col("id") % 3 == 1, F.lit(":80"))
+        .otherwise(F.lit("")),
+        F.lit("/A/p"), g.cast("string"),
+        F.when(F.col("id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=u"), (F.col("id") % 9).cast("string"),
+        F.lit("&b="), (g % 5).cast("string"), F.lit("&a=1"),
+        F.when(F.col("id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_dedup_groups(p.select(url.alias("url")))
+
+
+WP_URL_CANON_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}),
+raw AS (
+  SELECT
+    (CASE WHEN id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+    || (CASE WHEN id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || CAST((id % 300) % 97 AS VARCHAR) || '.Example'
+    || (CASE WHEN id % 7 = 0 THEN ':8080'
+             WHEN id % 3 = 1 THEN ':80' ELSE '' END)
+    || '/A/p' || CAST(id % 300 AS VARCHAR)
+    || (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END)
+    || '?utm_source=u' || CAST(id % 9 AS VARCHAR)
+    || '&b=' || CAST((id % 300) % 5 AS VARCHAR) || '&a=1'
+    || (CASE WHEN id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM pa
+),
+c1 AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
+    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                   '#.*$', '') AS rest
+  FROM raw
+),
+c2 AS (
+  SELECT url, s, rest,
+    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
+  FROM c1
+),
+c3 AS (
+  SELECT url, s, rest,
+    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS h,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+  FROM c2
+),
+c4 AS (
+  SELECT url, s, h,
+    CASE WHEN port <> '' AND NOT ((s = 'http' AND port = '80')
+                               OR (s = 'https' AND port = '443'))
+         THEN ':' || port ELSE '' END AS pp,
+    regexp_extract(rest, '^[^/?]+([^?]*)', 1) AS raw_path,
+    regexp_extract(rest, '\\?(.*)$', 1) AS q
+  FROM c3
+),
+c5 AS (
+  SELECT url, s, h, pp,
+    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(raw_path, '/+$', '') END AS pth,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS qs
+  FROM c4
+),
+canon AS (
+  SELECT url AS raw_url,
+    s || '://' || h || pp || pth
+      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical
+  FROM c5
+)
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls, min(raw_url) AS keep_url
+FROM canon GROUP BY canonical HAVING count(*) >= 2
+"""
+
+
 def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vs A2 pair-set overlap (main.rs:599-605)."""
     from .sources.export import algo_overlap_stats
@@ -2118,6 +2208,7 @@ QUERIES.update(
         "wp_extract_entities": wp_extract_entities,
         "wp_linkage_pairs": wp_linkage_pairs,
         "wp_stream_linkage": wp_stream_linkage,
+        "wp_url_canon": wp_url_canon,
         "lk_overlap_stats": lk_overlap_stats,
         "lk_partition_hist": lk_partition_hist,
         "lk_date_similarity": lk_date_similarity,
@@ -2129,6 +2220,7 @@ ORACLES.update(
         "wp_extract_entities": WP_EXTRACT_SQL,
         "wp_linkage_pairs": LK_ALGO1_SQL,
         "wp_stream_linkage": LK_FUZZY_SQL,
+        "wp_url_canon": WP_URL_CANON_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,
