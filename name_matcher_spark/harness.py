@@ -1171,6 +1171,137 @@ FROM member
 """
 
 
+def dd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiered dedup pipeline end-to-end (operators/dedup.py::
+    dedup_pipeline): exact -> LSH -> ngram verify -> clusters ->
+    per-doc disposition, over the self-union corpus (shifted copy makes
+    exact dups real, the synthetic near-dups exercise tiers 2-4). The
+    DuckDB twin chains the proven per-tier oracles into one recursive
+    query, so the WHOLE pipeline — including exact-canonical resolution
+    through near-dup clusters — hash-checks."""
+    from .operators.dedup import dedup_pipeline
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup_pipeline(d.unionByName(dup))
+
+
+def _dedup_pipeline_sql() -> str:
+    hash_cols = ",\n    ".join(
+        f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM docs2
+),
+assigned AS (
+  SELECT hashed.doc_id, g.exact_canon
+  FROM hashed JOIN (
+    SELECT h, min(doc_id) AS exact_canon FROM hashed GROUP BY h
+  ) g ON hashed.h = g.h
+),
+surv AS (
+  SELECT d.doc_id, regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') AS t
+  FROM docs2 d JOIN assigned a ON a.doc_id = d.doc_id
+  WHERE a.doc_id = a.exact_canon
+),
+off5 AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
+  FROM surv WHERE strlen(t) >= 5
+),
+grams5 AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM off5
+),
+sigs AS (
+  SELECT doc_id, {hash_cols}
+  FROM grams5 GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+off3 AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 2)) AS i
+  FROM surv WHERE strlen(t) >= 3
+),
+grams3_all AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM off3
+),
+grams3 AS (
+  SELECT doc_id, gram FROM grams3_all
+  WHERE gram IN (SELECT gram FROM grams3_all GROUP BY gram HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams3 GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN grams3 a ON a.doc_id = c.id_a
+  JOIN grams3 b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON i.id_a = na.doc_id
+  JOIN sizes nb ON i.id_b = nb.doc_id
+  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.62
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+member AS (
+  SELECT c.node, c.cluster_id, strlen(s.t) AS n_chars
+  FROM comp c JOIN surv s ON s.doc_id = c.node
+),
+ranked AS (
+  SELECT node, cluster_id,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, node ASC) AS rk
+  FROM member
+),
+cluster_canon AS (SELECT cluster_id, node AS canon FROM ranked WHERE rk = 1),
+near AS (
+  SELECT r.node AS doc_id, cc.canon AS canonical_id
+  FROM ranked r JOIN cluster_canon cc USING (cluster_id)
+  WHERE r.rk > 1
+)
+SELECT s.doc_id, 'kept' AS status, s.doc_id AS canonical_id
+FROM surv s
+WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.doc_id = s.doc_id)
+UNION ALL
+SELECT a.doc_id, 'exact_dup', coalesce(n.canonical_id, a.exact_canon)
+FROM assigned a LEFT JOIN near n ON n.doc_id = a.exact_canon
+WHERE a.doc_id <> a.exact_canon
+UNION ALL
+SELECT doc_id, 'near_dup', canonical_id FROM near
+"""
+
+
+DD_PIPELINE_SQL = _dedup_pipeline_sql()
+
+
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered as the SCALE variant: stop-gram cut (max_doc_freq)
     bounds the gram equi-join fan-out; the DuckDB oracle mirrors the
@@ -1755,6 +1886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_bands": dd_minhash_bands,
     "dd_stream_minhash": dd_stream_minhash,
     "dd_dup_clusters": dd_dup_clusters,
+    "dd_pipeline": dd_pipeline,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
     "dd_embed_neardup": dd_embed_neardup,
@@ -1795,6 +1927,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_bands": DD_MINHASH_SQL,
     "dd_stream_minhash": DD_MINHASH_SQL,
     "dd_dup_clusters": DD_DUP_CLUSTERS_SQL,
+    "dd_pipeline": DD_PIPELINE_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
     "dd_simhash": DD_SIMHASH_SQL,
     "dd_embed_neardup": DD_EMBED_NEARDUP_SQL,

@@ -199,6 +199,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_k: int = 3,
+    verify_threshold: float = 0.62,
+    max_doc_freq: int | None = 100,
+    method: str = "propagate",
+) -> DataFrame:
+    """The tiered dedup pipeline as ONE lazy plan — the module
+    docstring's cheapest-first architecture actually chained, each tier
+    seeing only the previous tier's survivors:
+
+      1. exact md5 groups     -> non-minimal members leave as exact_dup
+      2. MinHash/LSH buckets  -> candidate pairs among exact survivors
+      3. ngram-Jaccard verify -> candidates (capped gram universe)
+         at/above ``verify_threshold`` become confirmed near-dup edges
+      4. connected components + longest-text canonical -> near_dup
+
+    Returns one row per input doc: (id_col, status, canonical_id) with
+    status in {kept, exact_dup, near_dup}. An exact_dup whose exact
+    canonical was itself absorbed as a near-dup resolves through to the
+    cluster canonical, so canonical_id always names a kept doc.
+
+    At 100 TB each tier's cost profile is what makes the order matter:
+    tier 1 is one shuffle on a 16-byte key and typically removes the
+    bulk; tiers 2-3 never form all-pairs (bucket join + candidate-
+    restricted gram join); tier 4's graph is bounded by verified pairs.
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(F.encode(_norm_text(F.col(text_col)), "UTF-8")).alias("_h"),
+    )
+    canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_exact_canon"))
+    assigned = hashed.join(canon, "_h").select(id_col, "_exact_canon")
+    exact_dups = assigned.filter(F.col(id_col) != F.col("_exact_canon"))
+    surv = docs.join(
+        assigned.filter(F.col(id_col) == F.col("_exact_canon")).select(id_col),
+        id_col,
+        "leftsemi",
+    )
+
+    cands = minhash_lsh_candidates(
+        surv, id_col, text_col, shingle_k, num_hashes, bands
+    )
+    verified = ngram_jaccard_pairs(
+        surv,
+        candidates=cands,
+        id_col=id_col,
+        text_col=text_col,
+        k=verify_k,
+        threshold=verify_threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    clusters = dedup_clusters(
+        surv, verified.select("id_a", "id_b"), id_col, text_col, method
+    )
+    cluster_canon = clusters.filter(F.col("is_canonical")).select(
+        "cluster_id", F.col(id_col).alias("_near_canon")
+    )
+    near = (
+        clusters.filter(~F.col("is_canonical"))
+        .join(cluster_canon, "cluster_id")
+        .select(F.col(id_col), F.col("_near_canon"))
+    )
+
+    remap = near.select(
+        F.col(id_col).alias("_exact_canon"),
+        F.col("_near_canon").alias("_resolved"),
+    )
+    exact_rows = (
+        exact_dups.join(remap, "_exact_canon", "left")
+        .select(
+            F.col(id_col),
+            F.lit("exact_dup").alias("status"),
+            F.coalesce("_resolved", "_exact_canon").alias("canonical_id"),
+        )
+    )
+    near_rows = near.select(
+        F.col(id_col),
+        F.lit("near_dup").alias("status"),
+        F.col("_near_canon").alias("canonical_id"),
+    )
+    kept_rows = (
+        surv.select(id_col)
+        .join(near.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("kept").alias("status"),
+            F.col(id_col).alias("canonical_id"),
+        )
+    )
+    return kept_rows.unionByName(exact_rows).unionByName(near_rows)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -128,3 +128,30 @@ def test_embedding_neardup_finds_planted_twins(spark):
     assert got == expected
     for r in out.collect():
         assert r.cosine >= 0.98
+
+
+def test_dedup_pipeline_dispositions(spark):
+    """Tiered pipeline semantics on a handcrafted corpus: exact dups
+    leave at tier 1, verified near-dups cluster at tier 4, and an exact
+    dup of an absorbed near-dup resolves THROUGH to the kept canonical."""
+    from name_matcher_spark.operators.dedup import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "idle", 1)     # one edit -> high jaccard
+    rows = [
+        (1, base + "tail"),                        # canonical (longest)
+        (2, base + "tail"),                        # exact dup of 1
+        (3, near),                                 # near dup of 1
+        (5, near),                                 # exact dup of 3
+        (7, "completely unrelated content about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_pipeline(df).collect()}
+    assert len(out) == 5
+    assert out[1].status == "kept" and out[1].canonical_id == 1
+    assert out[2].status == "exact_dup" and out[2].canonical_id == 1
+    assert out[3].status == "near_dup" and out[3].canonical_id == 1
+    # 5 is byte-identical to 3; 3 was absorbed as near-dup of 1, so 5's
+    # canonical must resolve through to the KEPT doc, never to 3
+    assert out[5].status == "exact_dup" and out[5].canonical_id == 1
+    assert out[7].status == "kept" and out[7].canonical_id == 7
