@@ -65,21 +65,35 @@ def canonical_url(col: Column) -> Column:
 
 
 def url_dedup_groups(
-    pages: DataFrame, url_col: str = "url", min_group: int = 2
+    pages: DataFrame,
+    url_col: str = "url",
+    min_group: int = 2,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """(canonical_url, n_urls, keep_url) for every canonical group with
     at least ``min_group`` raw URLs: the crawl's URL-level dedup pass.
-    keep_url = lexicographic min raw member (deterministic survivor).
-    One shuffle, on the canonical key."""
-    canon = pages.select(
+
+    Survivor policy: lexicographic min raw member by default; with
+    ``ts_col`` (e.g. ``warc_ts``) the LATEST crawl wins — the standard
+    refresh-dedup across crawl snapshots — with ties broken by the max
+    raw URL so the pick stays deterministic (a bare max_by would not
+    be). One shuffle, on the canonical key; the argmax is a struct max,
+    so it combines map-side like any other aggregate."""
+    cols = [
         F.col(url_col).alias("raw_url"),
         canonical_url(F.col(url_col)).alias("canonical"),
-    ).filter(F.col("canonical").isNotNull())
+    ]
+    if ts_col is not None:
+        cols.append(F.col(ts_col).alias("_ts"))
+    canon = pages.select(*cols).filter(F.col("canonical").isNotNull())
+    if ts_col is None:
+        keep = F.min("raw_url").alias("keep_url")
+    else:
+        keep = F.max(F.struct(F.col("_ts"), F.col("raw_url")))["raw_url"].alias(
+            "keep_url"
+        )
     return (
         canon.groupBy("canonical")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.min("raw_url").alias("keep_url"),
-        )
+        .agg(F.count("*").alias("n_urls"), keep)
         .filter(F.col("n_urls") >= min_group)
     )

@@ -68,3 +68,27 @@ def test_canonical_url_unparseable_is_null(spark):
     )
     rows = url_dedup_groups(df).collect()
     assert len(rows) == 1 and rows[0].canonical == "http://a.com/p"
+
+
+def test_url_dedup_latest_crawl_wins(spark):
+    """With a ts_col the survivor is the newest crawl of the canonical
+    URL (tie -> max raw url, deterministic), not the lexicographic min."""
+    import datetime as dt
+
+    rows = [
+        ("http://a.com/p?utm_x=1", dt.datetime(2026, 1, 1)),
+        ("HTTP://WWW.A.com/p", dt.datetime(2026, 3, 1)),   # newest
+        ("http://a.com:80/p/", dt.datetime(2026, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    r = url_dedup_groups(df, ts_col="warc_ts").collect()[0]
+    assert r.canonical == "http://a.com/p" and r.n_urls == 3
+    assert r.keep_url == "HTTP://WWW.A.com/p"
+    # tie on ts -> max raw url
+    tied = spark.createDataFrame(
+        [("http://b.com/x", dt.datetime(2026, 1, 1)),
+         ("http://B.com/x", dt.datetime(2026, 1, 1))],
+        "url string, warc_ts timestamp",
+    )
+    r2 = url_dedup_groups(tied, ts_col="warc_ts").collect()[0]
+    assert r2.keep_url == "http://b.com/x"
