@@ -70,6 +70,11 @@ BENCH_QUERIES = {
     ),
     "txt_quality": harness.txt_quality,
     "sim_cosine_topk": harness.sim_cosine_topk,
+    # Round-3 additions: the tiered dedup pipeline (exact -> LSH ->
+    # ngram verify -> clusters -> keep-one, one lazy plan) and the
+    # crawl URL-canonicalization dedup pass.
+    "dd_pipeline": harness.dd_pipeline,
+    "wp_url_canon": harness.wp_url_canon,
 }
 
 

@@ -181,3 +181,16 @@ def test_prepare_chain_zero_python(spark):
     assert "BatchEvalPython" not in plan
     assert "nms_normalize_text" in plan and "nms_soundex4" in plan
     assert "nms_dmeta" in plan
+
+
+def test_new_round3_operators_plan_quality(spark):
+    """dd_pipeline and the URL canonicalizer must stay JVM-only (no
+    Python nodes) and never form a cartesian product — the plan
+    properties that make them viable at crawl scale."""
+    from name_matcher_spark import harness
+
+    for q in (harness.dd_pipeline, harness.wp_url_canon):
+        plan = _plan(q(spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
