@@ -823,6 +823,35 @@ FROM dec WHERE match_case IS NOT NULL
 LK_FUZZY_SQL = _fuzzy_sql(include_middle=False)
 LK_FUZZY_MID_SQL = _fuzzy_sql(include_middle=True)
 
+
+def lk_fuzzy_birthdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND blocking strategy through the full ladder: exact-
+    birthdate candidate blocking (exact recall — the ladder's own
+    birthdate gate makes it lossless) instead of the bkey cascade.
+    Hash-checked via the same sidecar ladder replay with a birthdate
+    candidate CTE."""
+    ensure_phonetic_sidecar(spark, sf_dir)
+    pa = prepare_persons(persons_a(spark, sf_dir), include_middle=False)
+    pb = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
+    out = match_fuzzy(pa, pb, include_middle=False, blocking="birthdate")
+    return out.select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
+
+
+LK_FUZZY_BD_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),{_SIDECAR_CTES},
+{_fuzzy_keys_cte("a", "pa", include_middle=False)},
+{_fuzzy_keys_cte("b", "pb", include_middle=False)},
+cands AS (
+  SELECT l.id AS id_1, r.id AS id_2 FROM ka l JOIN kb r
+    ON l.birthdate = r.birthdate
+),{_ladder_ctes(
+    include_middle=False,
+    gate="a.birthdate IS NOT NULL AND a.birthdate = b.birthdate",
+)}
+SELECT id_1, id_2, round(rawscore, 4) AS score, match_case
+FROM dec WHERE match_case IS NOT NULL
+"""
+
 _BD_PCT_SQL = """CAST(CASE
     WHEN bd1 = bd2 THEN 100.0
     WHEN abs(datediff('day', bd2, bd1)) = 1 THEN 90.0
@@ -1875,6 +1904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_lev_jw_scores": lk_lev_jw_scores,
     "lk_fuzzy_pairs": lk_fuzzy_pairs,
     "lk_fuzzy_pairs_mid": lk_fuzzy_pairs_mid,
+    "lk_fuzzy_birthdate": lk_fuzzy_birthdate,
     "lk_algo7_pairs": lk_algo7_pairs,
     "lk_blocking_quality": lk_blocking_quality,
     "lk_household_pct": lk_household_pct,
@@ -1917,6 +1947,7 @@ ORACLES: dict[str, str] = {
     "lk_lev_jw_scores": LK_LEV_JW_SQL,
     "lk_fuzzy_pairs": LK_FUZZY_SQL,
     "lk_fuzzy_pairs_mid": LK_FUZZY_MID_SQL,
+    "lk_fuzzy_birthdate": LK_FUZZY_BD_SQL,
     "lk_algo7_pairs": LK_ALGO7_SQL,
     "lk_household_pct": LK_HOUSEHOLD_SQL,
     "lk_household_pct_opt6": LK_HOUSEHOLD6_SQL,
