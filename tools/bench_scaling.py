@@ -105,10 +105,43 @@ def child(cpus: int, data_dir: str, size: int) -> None:
     )
 
 
-def run_child(cpus: int, data_dir: Path, size: int) -> dict:
+def run_child(
+    cpus: int, data_dir: Path, size: int, via_submit: bool = False
+) -> dict:
+    """Run one parallelism level in its own process. ``via_submit``
+    launches it through REAL ``spark-submit --py-files nms.zip --jars
+    nms-udfs.jar --master local[N]`` — the literal deploy contract of
+    the north rule — instead of a plain Python child; the measured
+    pipeline is identical."""
     env = dict(os.environ)
+    if via_submit:
+        from pathlib import Path as _P
+
+        import pyspark
+
+        from tools.make_pyfiles_zip import build as build_zip
+
+        submit = str(_P(pyspark.__file__).parent / "bin" / "spark-submit")
+        zip_path = str(build_zip("nms.zip"))
+        jar = str(REPO / "name_matcher_spark" / "javaudf" / "nms-udfs.jar")
+        # NMS_MASTER tells the child get_spark call the master is set
+        # by spark-submit; the child still pins shuffle partitions.
+        cmd = [
+            submit, "--master", f"local[{cpus}]",
+            # spark-submit starts the JVM itself, so get_spark's
+            # spark.driver.memory config cannot apply — pass it here or
+            # the child runs on the 1g default and dies at bench scale.
+            "--driver-memory", os.environ.get("NMS_DRIVER_MEM", "8g"),
+            "--py-files", zip_path, "--jars", jar,
+            __file__, "--child", str(cpus), str(data_dir), str(size),
+        ]
+    else:
+        cmd = [
+            sys.executable, __file__,
+            "--child", str(cpus), str(data_dir), str(size),
+        ]
     proc = subprocess.run(
-        [sys.executable, __file__, "--child", str(cpus), str(data_dir), str(size)],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -140,6 +173,9 @@ def main() -> None:
         i = argv.index("--levels")
         levels = tuple(int(x) for x in argv[i + 1].split(","))
         del argv[i : i + 2]
+    via_submit = "--via-submit" in argv
+    if via_submit:
+        argv.remove("--via-submit")
     size = int(argv[0]) if argv else 500_000
     lo, hi = levels
     factor = hi / lo
@@ -151,7 +187,7 @@ def main() -> None:
 
     results = {}
     for cpus in levels:
-        results[cpus] = run_child(cpus, data_dir, size)
+        results[cpus] = run_child(cpus, data_dir, size, via_submit=via_submit)
         print(cpus, "->", results[cpus])
 
     kresults = {}
@@ -197,7 +233,10 @@ def main() -> None:
     # live in the same file (non-default level pairs are namespaced).
     path = out / "scaling_latest.json"
     data = json.loads(path.read_text()) if path.exists() else {}
-    if levels == (8, 32):
+    if via_submit:
+        summary["deploy"] = "spark-submit --py-files nms.zip --jars nms-udfs.jar"
+        data[f"via_submit_{tag}"] = summary
+    elif levels == (8, 32):
         data.update(summary)
     else:
         data[f"levels_{tag}"] = summary
