@@ -200,7 +200,15 @@ def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # thousand strings), not the row count.
 # ---------------------------------------------------------------------------
 
-SIDECAR_DIR = "/tmp/nms_oracle_sidecar"
+# In-repo so the pre-generated maps for the driver's test scales ship
+# with the code (the oracle SQL must be able to run even if the driver
+# evaluates it before the Spark twin of a fuzzy query has executed);
+# ensure_phonetic_sidecar still merges in any unseen names at runtime.
+import os as _os
+
+SIDECAR_DIR = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", ".oracle_sidecar")
+)
 _SIDECAR_READY: set[str] = set()
 
 
