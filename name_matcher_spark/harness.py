@@ -1102,8 +1102,10 @@ FROM hashed JOIN groups ON hashed.h = groups.h
 
 
 def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash_fn="md5" is the oracle mode (DuckDB-replayable); production
+    # default is xxhash64 — same dual-mode contract as dd_simhash.
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), k=5, num_hashes=8, bands=4
+        _docs(spark, sf_dir), k=5, num_hashes=8, bands=4, hash_fn="md5"
     )
 
 
@@ -1161,6 +1163,7 @@ def dd_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src),
         f"{work}/store", f"{work}/out", f"{work}/ck",
+        hash_fn="md5",
     )
     q.awaitTermination()
     return spark.read.parquet(f"{work}/out").select("id_a", "id_b")
@@ -1174,7 +1177,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_clusters, minhash_lsh_candidates
 
     d = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(d, k=5, num_hashes=8, bands=4)
+    pairs = minhash_lsh_candidates(d, k=5, num_hashes=8, bands=4, hash_fn="md5")
     return dedup_clusters(d, pairs)
 
 
@@ -1220,7 +1223,7 @@ def dd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    return dedup_pipeline(d.unionByName(dup))
+    return dedup_pipeline(d.unionByName(dup), minhash_hash_fn="md5")
 
 
 def _dedup_pipeline_sql() -> str:

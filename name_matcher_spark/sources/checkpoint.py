@@ -30,10 +30,17 @@ def fingerprint_df(df: DataFrame, content: bool = True) -> dict:
     """Content fingerprint of an external input.
 
     ``content=True`` (default) folds an order-insensitive content
-    digest in — bit_xor of xxhash64 over every column — so edited rows
-    or reordered sources invalidate the checkpoint even when row count
-    and schema are preserved. Count + digest run as ONE aggregation job
-    (bit_xor, unlike sum, cannot overflow under ANSI mode).
+    digest in — an additive multiset hash, SUM of xxhash64 over every
+    column carried in decimal(38,0) — so edited rows or reordered
+    sources invalidate the checkpoint even when row count and schema
+    are preserved. An additive (sum) fold is used deliberately instead
+    of bit_xor: xor cancels identical rows with even multiplicity
+    (editing a value shared by two duplicate rows X,X -> Y,Y keeps an
+    xor digest unchanged), and duplicate rows are routine in this
+    dedup-centric domain; a sum tracks multiplicity exactly. The
+    decimal(38,0) carrier is ANSI-overflow-safe: |xxhash64| < 2^63 ≈
+    9.3e18, so even 10^18 rows sum to < 1e37 < 1e38. Count + digest
+    run as ONE aggregation job.
 
     ``content=False`` drops to row count + schema only: the right call
     when the input is a snapshot/metadata read on a real lake and a
@@ -43,7 +50,9 @@ def fingerprint_df(df: DataFrame, content: bool = True) -> dict:
         return {"row_count": df.count(), "schema": df.schema.simpleString()}
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("digest"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("digest"),
     ).collect()[0]
     return {
         "row_count": row["n"],
@@ -140,19 +149,21 @@ class StageCheckpoint:
         persisted = self.spark.read.parquet(str(out))
 
         # One job yields the whole lineage record: per-partition row
-        # counts AND per-partition content digests (bit_xor of xxhash64
-        # over every column). bit_xor is associative/commutative, so the
-        # stage digest is the XOR of the partition digests — the same
-        # order-insensitive digest fingerprint_df computes — and a
-        # changed partition is locatable from the manifest alone.
-        from functools import reduce
-
+        # counts AND per-partition content digests (multiset SUM of
+        # xxhash64 over every column, decimal(38,0) carrier — see
+        # fingerprint_df for why sum, not xor). Sum is associative and
+        # commutative, so the stage digest is the SUM of the partition
+        # digests — the same order-insensitive digest fingerprint_df
+        # computes — and a changed partition is locatable from the
+        # manifest alone.
         per = (
             persisted.groupBy(F.spark_partition_id().alias("p"))
             .agg(
                 F.count("*").alias("rows"),
-                F.bit_xor(
-                    F.xxhash64(*[F.col(c) for c in persisted.columns])
+                F.sum(
+                    F.xxhash64(
+                        *[F.col(c) for c in persisted.columns]
+                    ).cast("decimal(38,0)")
                 ).alias("digest"),
             )
             .collect()
@@ -165,10 +176,8 @@ class StageCheckpoint:
             }
             for r in per
         ]
-        content_digest = reduce(
-            lambda a, b: a ^ b,
-            [r["digest"] for r in per if r["digest"] is not None],
-            0,
+        content_digest = sum(
+            r["digest"] for r in per if r["digest"] is not None
         )
         manifest: dict = {
             "stage": stage,

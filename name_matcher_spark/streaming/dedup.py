@@ -42,6 +42,7 @@ def incremental_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     available_now: bool = True,
+    hash_fn: str = "xxhash64",
 ):
     """Start the streaming query. Emits (id_a, id_b, batch_id) pairs
     with id_a < id_b; returns the StreamingQuery handle."""
@@ -51,7 +52,7 @@ def incremental_dedup(
             return
         spark = batch_df.sparkSession
         buckets = band_buckets(
-            batch_df, id_col, text_col, k, num_hashes, bands
+            batch_df, id_col, text_col, k, num_hashes, bands, hash_fn
         ).persist()
         try:
             new = buckets.select(

@@ -47,6 +47,33 @@ def test_minhash_identical_docs_always_candidates(docs):
     assert not any({a, b} & {4} and {a, b} & {1, 2, 3} for a, b in cands)
 
 
+def test_minhash_hash_modes_agree_by_construction(spark):
+    """Production (xxhash64) and oracle (md5) MinHash must produce the
+    same candidate-pair SEMANTICS on a fixture where the answer is
+    hash-independent by construction: docs with identical normalized
+    text have identical shingle sets, hence identical signatures and a
+    shared bucket under ANY min-wise hash; docs sharing zero shingles
+    can never share a min (both modes hash the same gram strings, so a
+    bucket collision would require the min over disjoint gram sets to
+    coincide — asserted not to happen for either mode here)."""
+    rows = [
+        (1, "identical text body alpha alpha alpha"),
+        (2, "identical  TEXT body alpha alpha alpha"),  # ws/case twin of 1
+        (3, "qqqqqqqqqqqqqqqqqqqq"),                    # disjoint shingles
+        (4, "zzzzzzzzzzzzzzzzzzzz"),                    # disjoint shingles
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for mode in ("xxhash64", "md5"):
+        got[mode] = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(d, k=5, hash_fn=mode).collect()
+        }
+    assert got["xxhash64"] == got["md5"] == {(1, 2)}
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(d, k=5, hash_fn="sha9000").collect()
+
+
 def test_ngram_jaccard_exact_value(spark):
     d = spark.createDataFrame(
         [(1, "abcd"), (2, "abcde")], "doc_id long, text string"

@@ -156,6 +156,14 @@ def test_content_digest_catches_value_edit(spark):
     assert fingerprint_df(c)["content_digest"] == fa["content_digest"]
     # cheap mode documented: no digest key
     assert "content_digest" not in fingerprint_df(a, content=False)
+    # even-multiplicity edit: a value shared by TWO duplicate rows
+    # changes on both (X,X -> Y,Y). An xor-fold digest cancels this
+    # (h^h == g^g == 0); the additive multiset digest must not.
+    d = spark.createDataFrame([(1, "x"), (1, "x")], "id long, v string")
+    e = spark.createDataFrame([(1, "y"), (1, "y")], "id long, v string")
+    fd, fe = fingerprint_df(d), fingerprint_df(e)
+    assert fd["row_count"] == fe["row_count"] and fd["schema"] == fe["schema"]
+    assert fd["content_digest"] != fe["content_digest"]
 
 
 def test_stage_chain_invalidates_on_content_edit(spark, tmp_path):
