@@ -204,11 +204,31 @@ def persons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the code (the oracle SQL must be able to run even if the driver
 # evaluates it before the Spark twin of a fuzzy query has executed);
 # ensure_phonetic_sidecar still merges in any unseen names at runtime.
+#
+# Resolution order (the oracle SQL bakes this path at import time):
+#   1. $NMS_SIDECAR_DIR — explicit override for deploys.
+#   2. The in-repo ../.oracle_sidecar — only when it is a REAL
+#      directory: under the spark-submit --py-files contract __file__
+#      points inside nms.zip, where isdir() is False and makedirs /
+#      read_parquet would both fail.
+#   3. $CWD/.oracle_sidecar — the zip-deploy fallback; regenerated
+#      from the golden-tested Python mirrors on first use.
 import os as _os
 
-SIDECAR_DIR = _os.path.abspath(
-    _os.path.join(_os.path.dirname(__file__), "..", ".oracle_sidecar")
-)
+
+def _resolve_sidecar_dir() -> str:
+    env = _os.environ.get("NMS_SIDECAR_DIR")
+    if env:
+        return _os.path.abspath(env)
+    in_repo = _os.path.abspath(
+        _os.path.join(_os.path.dirname(__file__), "..", ".oracle_sidecar")
+    )
+    if _os.path.isdir(_os.path.dirname(in_repo)):
+        return in_repo
+    return _os.path.abspath(_os.path.join(_os.getcwd(), ".oracle_sidecar"))
+
+
+SIDECAR_DIR = _resolve_sidecar_dir()
 _SIDECAR_READY: set[str] = set()
 
 
@@ -259,7 +279,14 @@ def ensure_phonetic_sidecar(spark: SparkSession, sf_dir: str) -> None:
         if os.path.exists(path):
             old = pq.read_table(path)
             merged = dict(zip(old["key"].to_pylist(), old["code"].to_pylist()))
+            before = dict(merged)
             merged.update(mapping)
+            if merged == before:
+                # No new names at this scale — skip the rewrite so the
+                # tracked in-repo copies stay byte-stable across runs
+                # (pyarrow metadata would otherwise dirty the work tree
+                # on every oracle evaluation).
+                continue
         else:
             merged = mapping
         keys = sorted(merged)
@@ -2224,6 +2251,140 @@ FROM canon GROUP BY canonical HAVING count(*) >= 2
 """
 
 
+# --- generic HTML -> text extraction (operators/web.py::html_to_text) -----
+#
+# The adversarial page is synthesized from ONE shared piece-spec, so the
+# Spark input and the DuckDB input cannot drift; the oracle then replays
+# the documented 5-rule extraction contract (script/style, comments,
+# tags, single-pass entity decode incl. decimal/hex BMP code points,
+# whitespace fold) expression-for-expression. A hash match therefore
+# certifies every rule, including the preserved-verbatim cases (unknown
+# names, astral, surrogates) and the quoted-'>' tag trade-off.
+
+_ADV_ENT_POOL = [
+    "&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;", "&hellip;",
+    "&rsquo;", "&bogus;", "&copy;",
+]
+
+# literal str | ("id",) | ("mod", m) | ("modplus", base, m) | ("entpool",)
+_ADV_PAGE_SPEC: list = [
+    "<!DOCTYPE html><html><head><title>Doc ", ("id",),
+    '</title><script type="text/javascript">if(a<', ("mod", 5),
+    '){track("&amp;")}</script><style media="all">p { color: #',
+    ("mod", 9), "00; }</style></head><body>\n<!-- nav > chrome ",
+    ("mod", 7), ' --><p class="x">Entity ', ("entpool",),
+    " and letter &#", ("modplus", 65, 26),
+    "; plus caf&#233; and hex&#x2019;s</p>\n"
+    "<p>astral &#1114112; surrogate &#55296; stay</p>"
+    '<a title="x>y">link ', ("id",),
+    "</a>\t<p>tail&nbsp;text</p></body></html>",
+]
+
+
+def _adv_page_spark(k: F.Column) -> F.Column:
+    pieces = []
+    for p in _ADV_PAGE_SPEC:
+        if isinstance(p, str):
+            pieces.append(F.lit(p))
+        elif p[0] == "id":
+            pieces.append(k.cast("string"))
+        elif p[0] == "mod":
+            pieces.append((k % p[1]).cast("string"))
+        elif p[0] == "modplus":
+            pieces.append((F.lit(p[1]) + k % p[2]).cast("string"))
+        else:
+            pieces.append(_pool_at(_ADV_ENT_POOL, (k % len(_ADV_ENT_POOL)).cast("int")))
+    return F.concat(*pieces)
+
+
+def _adv_page_sql() -> str:
+    pieces = []
+    for p in _ADV_PAGE_SPEC:
+        if isinstance(p, str):
+            pieces.append("'" + p.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '") + "'")
+        elif p[0] == "id":
+            pieces.append("CAST(id AS VARCHAR)")
+        elif p[0] == "mod":
+            pieces.append(f"CAST(id % {p[1]} AS VARCHAR)")
+        elif p[0] == "modplus":
+            pieces.append(f"CAST({p[1]} + id % {p[2]} AS VARCHAR)")
+        else:
+            pieces.append(
+                f"({_sql_list(_ADV_ENT_POOL)})[CAST(id % {len(_ADV_ENT_POOL)} AS INT) + 1]"
+            )
+    return " || ".join(pieces)
+
+
+def wp_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic crawl-text extraction over adversarial HTML: per-id pages
+    carrying scripts-with-'<', styles, '>'-bearing comments, doctype,
+    attribute-quoted '>', rotating named entities (incl. an unknown
+    one), decimal/hex/astral/surrogate numerics, nbsp and mixed
+    whitespace — through html_to_text (operators/web.py)."""
+    from .operators.web import html_to_text
+
+    p = persons_a(spark, sf_dir).select("id")
+    pages = p.select("id", _adv_page_spark(F.col("id")).alias("html"))
+    return pages.select("id", html_to_text(F.col("html")).alias("text"))
+
+
+# DuckDB replay of html_to_text. `e` below is one matched entity token.
+_DDB_CP = (
+    "coalesce(try_cast(regexp_extract(e, '^&#([0-9]+);$', 1) AS INT), "
+    "try_cast('0x' || regexp_extract(e, '^&#[xX]([0-9A-Fa-f]+);$', 1) AS INT))"
+)
+
+
+def _ddb_entity_case() -> str:
+    from .operators.web import NAMED_ENTITIES
+
+    named = " ".join(
+        f"WHEN e = '&{n};' THEN '{v.replace(chr(39), chr(39) * 2)}'"
+        for n, v in NAMED_ENTITIES.items()
+    )
+    return f"""CASE
+      WHEN {_DDB_CP} IS NOT NULL THEN
+        CASE WHEN {_DDB_CP} BETWEEN 1 AND 65535
+              AND NOT ({_DDB_CP} BETWEEN 55296 AND 57343)
+             THEN chr({_DDB_CP}) ELSE e END
+      {named}
+      ELSE e END"""
+
+
+_ENT_TOKEN_SQL = "&[A-Za-z][A-Za-z0-9]*;|&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+WP_TEXT_EXTRACT_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}),
+raw AS (SELECT id, {_adv_page_sql()} AS html FROM pa),
+s1 AS (SELECT id, regexp_replace(html,
+         '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM raw),
+s2 AS (SELECT id, regexp_replace(t,
+         '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT id, regexp_replace(t, '(?is)</?[a-z!][^>]*>', ' ', 'g') AS t FROM s3),
+ent AS (
+  SELECT id,
+    string_split_regex(t, '{_ENT_TOKEN_SQL}') AS parts,
+    list_transform(
+      regexp_extract_all(t, '({_ENT_TOKEN_SQL})', 1),
+      e -> {_ddb_entity_case()}
+    ) AS dec
+  FROM s4
+),
+joined AS (
+  SELECT id,
+    array_to_string(
+      list_transform(range(1, len(parts) + 1),
+                     i -> parts[i] || coalesce(dec[i], '')),
+      '') AS t
+  FROM ent
+)
+SELECT id,
+  trim(regexp_replace(t, '[ \\t\\n\\r\\f\\x{{0B}}\\x{{00A0}}]+', ' ', 'g')) AS text
+FROM joined
+"""
+
+
 def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vs A2 pair-set overlap (main.rs:599-605)."""
     from .sources.export import algo_overlap_stats
@@ -2384,6 +2545,7 @@ QUERIES.update(
         "wp_linkage_pairs": wp_linkage_pairs,
         "wp_stream_linkage": wp_stream_linkage,
         "wp_url_canon": wp_url_canon,
+        "wp_text_extract": wp_text_extract,
         "lk_overlap_stats": lk_overlap_stats,
         "lk_partition_hist": lk_partition_hist,
         "lk_date_similarity": lk_date_similarity,
@@ -2396,6 +2558,7 @@ ORACLES.update(
         "wp_linkage_pairs": LK_ALGO1_SQL,
         "wp_stream_linkage": LK_FUZZY_SQL,
         "wp_url_canon": WP_URL_CANON_SQL,
+        "wp_text_extract": WP_TEXT_EXTRACT_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,

@@ -25,11 +25,18 @@ def _token_prefix_key(df: DataFrame) -> F.Column:
     family): birth year + first 2 chars of the normalized last name +
     first 1 of the normalized first name. Coarser than initials+soundex
     (more recall, more candidates) — exactly the trade blocking_quality
-    exists to measure."""
-    return F.concat_ws(
-        "|",
+    exists to measure.
+
+    NULL birth_year nulls the WHOLE key (F.concat null-propagates, vs
+    concat_ws which silently skips NULLs): a record with no birthdate
+    must not block-match every other dateless record on 'll|f' alone.
+    This mirrors the DuckDB oracle, where the equi-join on
+    year(birthdate) drops NULLs."""
+    return F.concat(
         df["birth_year"].cast("string"),
+        F.lit("|"),
         F.substring(F.coalesce(df["norm_last"], F.lit("")), 1, 2),
+        F.lit("|"),
         F.substring(F.coalesce(df["norm_first"], F.lit("")), 1, 1),
     )
 

@@ -24,6 +24,116 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Generic HTML -> text extraction
+# ---------------------------------------------------------------------------
+#
+# The first operator a real Common-Crawl user needs before any dedup or
+# linkage: strip markup down to visible text. The whole chain is JVM
+# regexp + higher-order array functions — zero Python, whole-stage
+# codegen, so it runs at scan speed over 100 TB of html. Rules
+# (documented contract, replayed verbatim by the DuckDB oracle in
+# harness.WP_TEXT_EXTRACT_SQL):
+#
+#   1. <script>...</script> and <style>...</style> blocks removed
+#      WHOLE (their payload is code, not text); case-insensitive,
+#      attributes allowed, '.' crosses newlines.
+#   2. <!-- comments --> removed (before the generic tag pass, which
+#      would otherwise chop "<!-- a > b -->" at the first '>').
+#   3. All remaining tags <x ...>, </x>, <!doctype ...> replaced by a
+#      space. A '>' inside a quoted attribute value ends the tag early
+#      — the standard, documented trade-off of regexp extraction.
+#   4. Character entities decoded in ONE pass (no re-scan of decoded
+#      output, so "&amp;lt;" -> "&lt;" stays text, like html.unescape):
+#      the common named set below, decimal "&#NNN;" and hex "&#xHH;"
+#      for BMP code points (1..65535 excluding the surrogate range);
+#      anything else — unknown names, out-of-range, astral — is
+#      preserved literally. &nbsp;/&#160; decode to U+00A0, which step
+#      5 then folds.
+#   5. Whitespace (space, \t, \n, \r, \f, \x0B, U+00A0) folded to
+#      single spaces; ends trimmed.
+#
+# Entity decode needs char-from-codepoint, which Spark lacks as a
+# builtin: decode(unhex(lpad(hex(cp), 4, '0')), 'UTF-16BE') supplies it
+# for the BMP (UTF-16BE of a BMP code point IS its 2-byte value).
+
+_ENT_TOKEN_RE = "&[A-Za-z][A-Za-z0-9]*;|&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+# Named entities worth decoding without a full HTML5 table: the XML
+# five, the typographic set crawl text actually contains, and nbsp.
+NAMED_ENTITIES: dict[str, str] = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "ndash": "–",
+    "mdash": "—",
+    "lsquo": "‘",
+    "rsquo": "’",
+    "ldquo": "“",
+    "rdquo": "”",
+    "hellip": "…",
+    "copy": "©",
+    "reg": "®",
+    "trade": "™",
+}
+
+
+def _decode_entity(e: Column) -> Column:
+    """One matched entity token -> its decoded text (or the token
+    verbatim when it isn't decodable)."""
+    name = F.regexp_extract(e, "^&([A-Za-z][A-Za-z0-9]*);$", 1)
+    dec = F.regexp_extract(e, "^&#([0-9]+);$", 1)
+    hx = F.regexp_extract(e, "^&#[xX]([0-9A-Fa-f]+);$", 1)
+    code = (
+        F.when(dec != "", dec.try_cast("int"))
+        .when(hx != "", F.conv(hx, 16, 10).try_cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    bmp = (
+        code.isNotNull()
+        & (code >= 1)
+        & (code <= 0xFFFF)
+        & ~((code >= 0xD800) & (code <= 0xDFFF))
+    )
+    from_cp = F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE")
+    out = F.when(bmp, from_cp)
+    for nm, ch in NAMED_ENTITIES.items():
+        out = out.when(name == nm, F.lit(ch))
+    return out.otherwise(e)
+
+
+def decode_html_entities(col: Column) -> Column:
+    """Single-pass entity decode: split the text AT entity tokens,
+    decode each token, and re-interleave — all with array higher-order
+    functions, so decoded output is never re-scanned (``&amp;lt;``
+    yields the literal text ``&lt;``)."""
+    parts = F.split(col, _ENT_TOKEN_RE, -1)  # n_entities + 1 pieces
+    ents = F.regexp_extract_all(col, F.lit(f"({_ENT_TOKEN_RE})"), 1)
+    decoded = F.transform(ents, _decode_entity)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    pieces = F.zip_with(decoded, tail, lambda d, p: F.concat(d, p))
+    return F.concat(
+        F.element_at(parts, 1),
+        F.aggregate(pieces, F.lit(""), lambda acc, x: F.concat(acc, x)),
+    )
+
+
+_WS_RE = "[ \\t\\n\\r\\f\\x0B\\x{00A0}]+"
+
+
+def html_to_text(col: Column) -> Column:
+    """Generic crawl-page text extraction per the 5 rules above.
+    NULL html -> NULL text (regexp_replace null-propagates)."""
+    x = F.regexp_replace(col, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    x = F.regexp_replace(x, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    x = F.regexp_replace(x, "(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, "(?is)</?[a-z!][^>]*>", " ")
+    x = decode_html_entities(x)
+    return F.trim(F.regexp_replace(x, _WS_RE, " "))
+
 
 def canonical_url(col: Column) -> Column:
     u = F.trim(col)

@@ -22,6 +22,7 @@ store equals `cluster_pairs` run on the union of all pairs.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame
@@ -30,11 +31,39 @@ from pyspark.sql import functions as F
 from ..operators.clustering import connected_components
 
 
+@contextlib.contextmanager
+def _store_lock(store_dir: str):
+    """Advisory lock serializing the replace protocol against
+    concurrent recovery. In long-lived mode ``read_clusters`` runs
+    while the writer is mid-replace; without the lock a reader's
+    recover_store can restore ``.old`` back between the writer's two
+    renames, making the writer's final rename fail ENOTEMPTY. flock on
+    a sibling lock file (the store dir itself is renamed, so it can't
+    host the lock) makes recover/replace mutually exclusive. Single
+    host by design — the label store lives on driver-local disk."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(os.path.abspath(store_dir)) or ".", exist_ok=True)
+    fd = os.open(f"{store_dir}.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def recover_store(store_dir: str) -> None:
     """Crash recovery for the rename-pair replace protocol: if a crash
     landed between ``rename(store, store.old)`` and
     ``rename(store.next, store)``, the last complete store survives as
-    ``.old`` — restore it. Idempotent; safe to call before every read."""
+    ``.old`` — restore it. Idempotent; safe to call before every read
+    (takes the store lock, so it never races a mid-replace writer)."""
+    with _store_lock(store_dir):
+        _recover_store_locked(store_dir)
+
+
+def _recover_store_locked(store_dir: str) -> None:
     old = f"{store_dir}.old"
     if not os.path.exists(store_dir) and os.path.exists(old):
         os.rename(old, store_dir)
@@ -76,16 +105,19 @@ def apply_cluster_batch(
     # the new complete store, never a half-written one. A crash
     # between the two renames leaves only .old — recover_store
     # restores it on the next batch (and read_clusters at startup).
+    # The store lock keeps a concurrent reader's recovery from
+    # resurrecting .old between the two renames.
     import shutil
 
-    old = f"{labels_dir}.old"
-    if os.path.exists(labels_dir):
+    with _store_lock(labels_dir):
+        old = f"{labels_dir}.old"
+        if os.path.exists(labels_dir):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(labels_dir, old)
+        os.rename(tmp, labels_dir)
         if os.path.exists(old):
             shutil.rmtree(old)
-        os.rename(labels_dir, old)
-    os.rename(tmp, labels_dir)
-    if os.path.exists(old):
-        shutil.rmtree(old)
 
 
 def incremental_clusters(

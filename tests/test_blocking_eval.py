@@ -42,3 +42,35 @@ def test_blocking_quality_orderings(spark):
     # between initials and the full phonetic key on tightness
     assert rows["token_prefix"].n_candidates <= rows["year_initials"].n_candidates
     assert rows["token_prefix"].recall <= rows["year_initials"].recall
+
+
+def test_token_prefix_null_birthdate_never_blocks(spark):
+    """A NULL birthdate must null the whole token_prefix key: records
+    with no date may not block-match each other on name prefixes alone
+    (the DuckDB oracle's year() equi-join drops NULLs, so Spark must
+    too — concat_ws would have silently skipped the NULL)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "uuid": ["u1", "u2", "u3"],
+            "first_name": ["Liam", "Lior", "Liam"],
+            "middle_name": [None, None, None],
+            "last_name": ["Lloyd", "Lloyd", "Lloyd"],
+            "birthdate": pd.Series(
+                [None, None, pd.Timestamp("1980-02-03")], dtype="object"
+            ),
+            "hh_id": [None, None, None],
+        }
+    )
+    p = prepare_persons(spark.createDataFrame(rows), include_middle=False)
+    truth = spark.createDataFrame(pd.DataFrame({"id_1": [1], "id_2": [2]}))
+    out = {
+        r.strategy: r
+        for r in blocking_quality(p, p, truth, strategies=("token_prefix",)).collect()
+    }
+    # Only the dated row can self-pair; the two NULL-birthdate rows
+    # (same 'Ll|l' name prefix) must produce no candidates.
+    assert out["token_prefix"].n_candidates == 1
+    assert out["token_prefix"].n_covered == 0

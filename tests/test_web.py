@@ -92,3 +92,79 @@ def test_url_dedup_latest_crawl_wins(spark):
     )
     r2 = url_dedup_groups(tied, ts_col="warc_ts").collect()[0]
     assert r2.keep_url == "http://b.com/x"
+
+
+# ---------------------------------------------------------------------------
+# Generic HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+from name_matcher_spark.operators.web import decode_html_entities, html_to_text
+
+
+def _extract(spark, docs):
+    df = spark.createDataFrame([(d,) for d in docs], "html string")
+    return [
+        r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()
+    ]
+
+
+def test_html_to_text_rules(spark):
+    cases = {
+        # script/style payloads vanish whole, incl. '<' inside code
+        '<p>A</p><script type="t">if(a<2){x("&amp;")}</script>B': "A B",
+        "<STYLE a=b>p { color: red; }</style >C<p>D": "C D",
+        # comments removed before the tag pass ('>' inside comment)
+        "x<!-- nav > chrome -->y": "x y",
+        # doctype + tags with attributes -> spaces; whitespace folded
+        "<!DOCTYPE html><html>\n<body>\t<p a=1>Hi   there</p></body></html>":
+            "Hi there",
+        # entity decode: named, decimal, hex; single pass (no re-scan)
+        "Tom &amp; Jerry &#65;&#x42; caf&#233;": "Tom & Jerry AB café",
+        "&amp;lt; stays text": "&lt; stays text",
+        "&rsquo;&hellip;&copy;": "’…©",
+        # nbsp (named and numeric) folds into whitespace
+        "a&nbsp;b&#160;c": "a b c",
+        # unknown / out-of-range / surrogate entities preserved verbatim
+        "keep &bogus; &#1114112; &#55296;": "keep &bogus; &#1114112; &#55296;",
+        # documented trade-off: '>' inside a quoted attribute ends the tag
+        '<a title="x>y">link</a>': 'y">link',
+        # plain text untouched
+        "no markup here": "no markup here",
+    }
+    got = _extract(spark, list(cases))
+    for (raw, want), t in zip(cases.items(), got):
+        assert t == want, f"{raw!r}: got {t!r}, want {want!r}"
+
+
+def test_entity_decode_matches_cpython_unescape(spark):
+    """For in-contract tokens (known names + BMP numerics) the decoder
+    must agree with html.unescape char-for-char."""
+    import html as pyhtml
+
+    toks = (
+        [f"&{n};" for n in (
+            "amp lt gt quot apos ndash mdash lsquo rsquo ldquo rdquo "
+            "hellip copy reg trade"
+        ).split()]
+        # (65535 = U+FFFF is excluded: html.unescape drops HTML5
+        # "noncharacters" while our contract decodes any non-surrogate
+        # BMP code point; 65533 = U+FFFD pins the top of the range)
+        + [f"&#{n};" for n in (34, 65, 160, 233, 955, 20013, 65533)]
+        + [f"&#x{n:X};" for n in (0x42, 0xE9, 0x2019, 0x4E2D)]
+    )
+    docs = [f"a{t}b" for t in toks]
+    df = spark.createDataFrame([(d,) for d in docs], "html string")
+    got = [
+        r.t
+        for r in df.select(
+            decode_html_entities(F.col("html")).alias("t")
+        ).collect()
+    ]
+    for d, t in zip(docs, got):
+        assert t == pyhtml.unescape(d), (d, t)
+
+
+def test_html_to_text_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",), ("   ",)], "html string")
+    got = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [None, "", ""]
