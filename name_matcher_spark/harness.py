@@ -1505,25 +1505,107 @@ FROM documents
 """
 
 
+# Non-Latin docs appended to the corpus (the parquet fixture is Latin-
+# only): one per script plus the decision-rule edge cases — a Han-
+# MAJORITY Japanese sentence (kana priority must beat the zh vote), an
+# English sentence quoting one Han char (below the 5% script threshold,
+# stopwords must win), and a digits/punct-only doc ('und').
+LANGID_EXTRA_DOCS: list[tuple[int, str]] = [
+    (900001, "これはテストのためのかなだけの文です"),
+    (900002, "你好世界这是一个中文文档没有假名"),
+    (900003, "한국어 문서입니다 한글만 있습니다"),
+    (900004, "Это русский текст для проверки кириллицы"),
+    (900005, "هذا نص عربي للاختبار"),
+    (900006, "यह हिंदी में एक परीक्षण दस्तावेज है"),
+    (900007, "Αυτό είναι ένα ελληνικό κείμενο δοκιμής"),
+    (900008, "The quick brown fox and the lazy dog went to the market 中"),
+    (900009, "1234 5678 ---- ????"),
+    (900010, "日本国憲法第九条の規定により戦争を放棄する"),
+]
+
+
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(_docs(spark, sf_dir))
+    extra = spark.createDataFrame(LANGID_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    return lang_id(corpus)
+
+
+# DuckDB RE2 spells script classes \p{Han}; Java spells them
+# \p{IsHan} — same classes, per-dialect syntax.
+_DDB_SCRIPTS = [
+    ("ja", "[\\p{Hiragana}\\p{Katakana}]"),
+    ("zh", "\\p{Han}"),
+    ("ko", "\\p{Hangul}"),
+    ("ru", "\\p{Cyrillic}"),
+    ("ar", "\\p{Arabic}"),
+    ("hi", "\\p{Devanagari}"),
+    ("el", "\\p{Greek}"),
+]
 
 
 def _langid_sql() -> str:
+    from .operators.text import SCRIPT_MIN_FRACTION_DEN as DEN
+
     hit_cols = ",\n    ".join(
         f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b')) AS {lang}"
         for lang, words in LANG_MARKERS.items()
     )
+    script_cols = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS s_{lang}"
+        for lang, pat in _DDB_SCRIPTS
+    )
+    elig_cols = ",\n    ".join(
+        f"CASE WHEN s_{lang} > 0 AND s_{lang} * {DEN} >= nws THEN s_{lang} ELSE 0 END AS e_{lang}"
+        for lang, _ in _DDB_SCRIPTS
+    )
+    extra_rows = ",\n  ".join(
+        f"({i}, '{t}')" for i, t in LANGID_EXTRA_DOCS
+    )
+    # tie-break = first list position with count == max (strict-> chain
+    # parity with the Spark side)
+    script_pick = "\n       ".join(
+        f"WHEN e_{lang} = smx THEN '{lang}'" for lang, _ in _DDB_SCRIPTS[1:]
+    )
     return f"""
-WITH h AS (SELECT doc_id, {hit_cols} FROM documents),
-m AS (SELECT doc_id, en, es, de, fr, greatest(en, es, de, fr) AS mx FROM h)
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+),
+h AS (
+  SELECT doc_id,
+    strlen(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    {script_cols},
+    {hit_cols}
+  FROM corpus
+),
+el AS (
+  SELECT doc_id, en, es, de, fr,
+    {elig_cols}
+  FROM h
+),
+m AS (
+  SELECT doc_id, en, es, de, fr, e_ja,
+    greatest(e_zh, e_ko, e_ru, e_ar, e_hi, e_el) AS smx,
+    e_zh, e_ko, e_ru, e_ar, e_hi, e_el,
+    greatest(en, es, de, fr) AS mx
+  FROM el
+)
 SELECT doc_id,
-  CASE WHEN mx = 0 THEN 'und'
+  CASE WHEN e_ja > 0 THEN 'ja'
+       WHEN smx > 0 THEN (CASE
+       {script_pick}
+       END)
+       WHEN mx = 0 THEN 'und'
        WHEN en = mx THEN 'en'
        WHEN es = mx THEN 'es'
        WHEN de = mx THEN 'de'
        ELSE 'fr' END AS detected_lang,
-  CAST(mx AS BIGINT) AS lang_score
+  CAST(CASE WHEN e_ja > 0 THEN e_ja
+            WHEN smx > 0 THEN smx
+            ELSE mx END AS BIGINT) AS lang_score
 FROM m
 """
 
@@ -2165,10 +2247,13 @@ def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-URL dedup (operators/web.py):
     messy crawl URLs — case-varied schemes/hosts, www prefixes, default
     and non-default ports, trailing slashes, utm_* tracking params,
-    fragments — are synthesized deterministically per person id, folded
-    by the pure-JVM canonical_url expression, and grouped. The oracle
-    replays the same canonicalization pipeline in DuckDB SQL, so every
-    rule (port logic, param filter+sort, slash trim) hash-checks."""
+    fragments, percent-encoded unreserved chars, lowercase reserved
+    hex, click-tracker params, exact-duplicate params — are synthesized
+    deterministically per person id, folded by the pure-JVM
+    canonical_url expression, and grouped. The oracle replays the same
+    canonicalization pipeline in DuckDB SQL, so every rule (port logic,
+    pct normalization, tracker filter, dup collapse, sort, slash trim)
+    hash-checks."""
     from .operators.web import url_dedup_groups
 
     p = persons_a(spark, sf_dir).select("id")
@@ -2180,14 +2265,38 @@ def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") % 7 == 0, F.lit(":8080"))
         .when(F.col("id") % 3 == 1, F.lit(":80"))
         .otherwise(F.lit("")),
-        F.lit("/A/p"), g.cast("string"),
+        # %41 decodes to 'A' -> merges with the plain-path variants
+        F.when(F.col("id") % 6 == 0, F.lit("/%41/p")).otherwise(F.lit("/A/p")),
+        g.cast("string"),
         F.when(F.col("id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.lit("?utm_source=u"), (F.col("id") % 9).cast("string"),
         F.lit("&b="), (g % 5).cast("string"), F.lit("&a=1"),
+        # exact duplicate collapses to one
+        F.when(F.col("id") % 8 == 0, F.lit("&a=1")).otherwise(F.lit("")),
+        # click trackers dropped
+        F.when(
+            F.col("id") % 2 == 1,
+            F.concat(F.lit("&fbclid=click"), (F.col("id") % 11).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("id") % 10 == 7, F.lit("&ref=nl")).otherwise(F.lit("")),
+        # lowercase reserved hex normalizes to the %3F spelling
+        F.when(F.col("id") % 5 == 2, F.lit("&c=%3f")).otherwise(F.lit("&c=%3F")),
         F.when(F.col("id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
     return url_dedup_groups(p.select(url.alias("url")))
 
+
+# One matched %XX token -> normalized form (unreserved decodes,
+# everything else uppercases); `e` is the lambda variable below.
+_DDB_PCT_CODE = "try_cast('0x' || substr(e, 2, 2) AS INT)"
+_DDB_PCT_CASE = f"""CASE
+      WHEN {_DDB_PCT_CODE} BETWEEN 65 AND 90 OR {_DDB_PCT_CODE} BETWEEN 97 AND 122
+        OR {_DDB_PCT_CODE} BETWEEN 48 AND 57 OR {_DDB_PCT_CODE} IN (45, 46, 95, 126)
+      THEN chr({_DDB_PCT_CODE}) ELSE upper(e) END"""
+
+_DDB_TRACKER_RE = (
+    "^(utm_[^=]*|fbclid|gclid|gclsrc|ref|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
+)
 
 WP_URL_CANON_SQL = f"""
 WITH pa AS ({PERSONS_A_SQL}),
@@ -2198,10 +2307,15 @@ raw AS (
     || 'Site' || CAST((id % 300) % 97 AS VARCHAR) || '.Example'
     || (CASE WHEN id % 7 = 0 THEN ':8080'
              WHEN id % 3 = 1 THEN ':80' ELSE '' END)
-    || '/A/p' || CAST(id % 300 AS VARCHAR)
+    || (CASE WHEN id % 6 = 0 THEN '/%41/p' ELSE '/A/p' END)
+    || CAST(id % 300 AS VARCHAR)
     || (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END)
     || '?utm_source=u' || CAST(id % 9 AS VARCHAR)
     || '&b=' || CAST((id % 300) % 5 AS VARCHAR) || '&a=1'
+    || (CASE WHEN id % 8 = 0 THEN '&a=1' ELSE '' END)
+    || (CASE WHEN id % 2 = 1 THEN '&fbclid=click' || CAST(id % 11 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN id % 10 = 7 THEN '&ref=nl' ELSE '' END)
+    || (CASE WHEN id % 5 = 2 THEN '&c=%3f' ELSE '&c=%3F' END)
     || (CASE WHEN id % 5 = 0 THEN '#sec' ELSE '' END) AS url
   FROM pa
 ),
@@ -2232,13 +2346,31 @@ c4 AS (
     regexp_extract(rest, '\\?(.*)$', 1) AS q
   FROM c3
 ),
+c4b AS (
+  SELECT url, s, h, pp,
+    string_split_regex(raw_path, '%[0-9A-Fa-f]{{2}}') AS pparts,
+    list_transform(regexp_extract_all(raw_path, '(%[0-9A-Fa-f]{{2}})', 1),
+                   e -> {_DDB_PCT_CASE}) AS pdec,
+    string_split_regex(q, '%[0-9A-Fa-f]{{2}}') AS qparts,
+    list_transform(regexp_extract_all(q, '(%[0-9A-Fa-f]{{2}})', 1),
+                   e -> {_DDB_PCT_CASE}) AS qdec
+  FROM c4
+),
+c4c AS (
+  SELECT url, s, h, pp,
+    array_to_string(list_transform(range(1, len(pparts) + 1),
+      i -> pparts[i] || coalesce(pdec[i], '')), '') AS raw_path,
+    array_to_string(list_transform(range(1, len(qparts) + 1),
+      i -> qparts[i] || coalesce(qdec[i], '')), '') AS q
+  FROM c4b
+),
 c5 AS (
   SELECT url, s, h, pp,
     CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
          ELSE regexp_replace(raw_path, '/+$', '') END AS pth,
-    array_to_string(list_sort(list_filter(string_split(q, '&'),
-        p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS qs
-  FROM c4
+    array_to_string(list_sort(list_distinct(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '{_DDB_TRACKER_RE}')))), '&') AS qs
+  FROM c4c
 ),
 canon AS (
   SELECT url AS raw_url,

@@ -25,11 +25,50 @@ def _marker_hits(text: Column, words: list[str]) -> Column:
     return F.regexp_count(F.lower(text), F.lit(pattern))
 
 
+# Unicode-script languages, voted AHEAD of the Latin stopword markers:
+# script characters are a far stronger signal than any stopword list.
+# (lang, Java-regex char class, priority position). Kana is listed
+# first and handled specially: Japanese text is usually Han-MAJORITY,
+# so any above-threshold kana presence decides 'ja' before the Han
+# count can vote 'zh'.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("ja", "[\\p{IsHiragana}\\p{IsKatakana}]"),
+    ("zh", "\\p{IsHan}"),
+    ("ko", "\\p{IsHangul}"),
+    ("ru", "\\p{IsCyrillic}"),
+    ("ar", "\\p{IsArabic}"),
+    ("hi", "\\p{IsDevanagari}"),
+    ("el", "\\p{IsGreek}"),
+]
+
+# A script must cover >= 1/SCRIPT_MIN_FRACTION_DEN of the non-space
+# characters (and be non-zero) to vote — one quoted CJK char inside an
+# English paragraph must not flip the label.
+SCRIPT_MIN_FRACTION_DEN = 20
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, detected_lang, lang_score) — argmax over marker-hit counts,
-    'und' (undetermined) when no marker fires. Deterministic tiebreak:
-    language order en > es > de > fr (strict > comparison)."""
+    """(id, detected_lang, lang_score).
+
+    Priority rules (deterministic, mirrored by the DuckDB oracle):
+      1. Script vote. Count characters per Unicode script class
+         (SCRIPT_CLASSES); a script is ELIGIBLE when count > 0 and
+         count * SCRIPT_MIN_FRACTION_DEN >= non-whitespace chars.
+         Eligible kana -> 'ja' outright (see SCRIPT_CLASSES note);
+         otherwise argmax over the remaining eligible scripts, ties
+         broken by list order (strict > comparison).
+      2. Latin stopword vote: argmax over marker-hit counts, language
+         order en > es > de > fr (strict >).
+      3. 'und' when nothing fires. lang_score is the winning count
+         (script chars for rule 1, marker hits for rule 2)."""
     t = F.col(text_col)
+    n_nonws = F.length(F.regexp_replace(t, "\\s+", ""))
+    script = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in SCRIPT_CLASSES}
+    eligible = {
+        lang: (c > 0) & (c * SCRIPT_MIN_FRACTION_DEN >= n_nonws)
+        for lang, c in script.items()
+    }
+
     hits = {lang: _marker_hits(t, words) for lang, words in LANG_MARKERS.items()}
     best_lang = F.lit("und")
     best_score = F.lit(0)
@@ -37,10 +76,28 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         is_better = hits[lang] > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, hits[lang]).otherwise(best_score)
+
+    s_lang = F.lit(None).cast("string")
+    s_score = F.lit(0)
+    for lang, _pat in SCRIPT_CLASSES[1:]:  # kana handled outright below
+        is_better = eligible[lang] & (script[lang] > s_score)
+        s_lang = F.when(is_better, F.lit(lang)).otherwise(s_lang)
+        s_score = F.when(is_better, script[lang]).otherwise(s_score)
+
+    final_lang = (
+        F.when(eligible["ja"], F.lit("ja"))
+        .when(s_lang.isNotNull(), s_lang)
+        .otherwise(best_lang)
+    )
+    final_score = (
+        F.when(eligible["ja"], script["ja"])
+        .when(s_lang.isNotNull(), s_score)
+        .otherwise(best_score)
+    )
     return docs.select(
         F.col(id_col),
-        best_lang.alias("detected_lang"),
-        best_score.cast("long").alias("lang_score"),
+        final_lang.alias("detected_lang"),
+        final_score.cast("long").alias("lang_score"),
     )
 
 

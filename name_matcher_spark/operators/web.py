@@ -12,10 +12,20 @@ oracle in harness.wp_url_canon):
   * scheme and host lowercased; a leading ``www.`` dropped
   * default ports stripped (``:80`` for http, ``:443`` for https);
     non-default ports kept
+  * percent-encoding normalized in path and query (RFC 3986 §6.2.2):
+    ``%XX`` of an UNRESERVED character (ALPHA / DIGIT / ``-._~``)
+    decodes to the character; every other ``%XX`` keeps its encoding
+    with the hex uppercased (``%3f`` -> ``%3F``). Runs BEFORE the
+    tracker filter, so ``%75tm_source`` is caught.
   * path kept case-sensitive; trailing ``/`` runs stripped; empty
     path -> ``/``
-  * query split on ``&``; empty params and ``utm_*`` tracking params
-    dropped; remainder sorted lexicographically and rejoined
+  * query split on ``&``; empty params, ``utm_*`` and the known
+    click-tracker params (TRACKER_PARAM_RE: fbclid gclid gclsrc ref
+    mc_cid mc_eid igshid msclkid) dropped; exact-duplicate ``k=v``
+    pairs collapsed to one; remainder sorted lexicographically and
+    rejoined (same-key-different-value params all survive, in sorted
+    order — dropping data the crawl may rely on is not this
+    operator's call)
   * fragment dropped
 """
 
@@ -105,20 +115,27 @@ def _decode_entity(e: Column) -> Column:
     return out.otherwise(e)
 
 
-def decode_html_entities(col: Column) -> Column:
-    """Single-pass entity decode: split the text AT entity tokens,
-    decode each token, and re-interleave — all with array higher-order
-    functions, so decoded output is never re-scanned (``&amp;lt;``
-    yields the literal text ``&lt;``)."""
-    parts = F.split(col, _ENT_TOKEN_RE, -1)  # n_entities + 1 pieces
-    ents = F.regexp_extract_all(col, F.lit(f"({_ENT_TOKEN_RE})"), 1)
-    decoded = F.transform(ents, _decode_entity)
+def _interleave_decode(col: Column, token_re: str, decode_one) -> Column:
+    """Single-pass token rewrite: split the text AT tokens, map each
+    token through ``decode_one``, and re-interleave — all with array
+    higher-order functions, so rewritten output is never re-scanned.
+    The generic engine under both HTML-entity decoding and URL
+    percent-encoding normalization."""
+    parts = F.split(col, token_re, -1)  # n_tokens + 1 pieces
+    toks = F.regexp_extract_all(col, F.lit(f"({token_re})"), 1)
+    decoded = F.transform(toks, decode_one)
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     pieces = F.zip_with(decoded, tail, lambda d, p: F.concat(d, p))
     return F.concat(
         F.element_at(parts, 1),
         F.aggregate(pieces, F.lit(""), lambda acc, x: F.concat(acc, x)),
     )
+
+
+def decode_html_entities(col: Column) -> Column:
+    """Single-pass entity decode (``&amp;lt;`` yields the literal text
+    ``&lt;``, like html.unescape)."""
+    return _interleave_decode(col, _ENT_TOKEN_RE, _decode_entity)
 
 
 _WS_RE = "[ \\t\\n\\r\\f\\x0B\\x{00A0}]+"
@@ -133,6 +150,36 @@ def html_to_text(col: Column) -> Column:
     x = F.regexp_replace(x, "(?is)</?[a-z!][^>]*>", " ")
     x = decode_html_entities(x)
     return F.trim(F.regexp_replace(x, _WS_RE, " "))
+
+
+# Tracking params dropped by canonical_url: the utm_* family plus the
+# common click-id / newsletter trackers. One regex, shared verbatim
+# with the DuckDB oracle.
+TRACKER_PARAM_RE = (
+    "^(utm_[^=]*|fbclid|gclid|gclsrc|ref|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
+)
+
+_PCT_TOKEN_RE = "%[0-9A-Fa-f]{2}"
+
+
+def _normalize_pct_token(e: Column) -> Column:
+    code = F.conv(F.substring(e, 2, 2), 16, 10).cast("int")
+    unreserved = (
+        ((code >= 65) & (code <= 90))        # A-Z
+        | ((code >= 97) & (code <= 122))     # a-z
+        | ((code >= 48) & (code <= 57))      # 0-9
+        | code.isin(45, 46, 95, 126)         # - . _ ~
+    )
+    ch = F.decode(F.unhex(F.substring(e, 2, 2)), "US-ASCII")
+    return F.when(unreserved, ch).otherwise(F.upper(e))
+
+
+def normalize_percent_encoding(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode
+    unreserved characters, uppercase the hex of everything else.
+    Reserved octets (``%2F``, ``%26``...) stay encoded, so structural
+    splits on ``/`` and ``&`` are unaffected by where this runs."""
+    return _interleave_decode(col, _PCT_TOKEN_RE, _normalize_pct_token)
 
 
 def canonical_url(col: Column) -> Column:
@@ -153,16 +200,18 @@ def canonical_url(col: Column) -> Column:
         (port != "") & ~default_port, F.concat(F.lit(":"), port)
     ).otherwise(F.lit(""))
 
-    raw_path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    raw_path = normalize_percent_encoding(
+        F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    )
     trimmed_path = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(trimmed_path == "", F.lit("/")).otherwise(trimmed_path)
 
-    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    query = normalize_percent_encoding(F.regexp_extract(rest, r"\?(.*)$", 1))
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & (F.substring(p, 1, 4) != "utm_"),
+        lambda p: (p != "") & ~p.rlike(TRACKER_PARAM_RE),
     )
-    q_sorted = F.array_join(F.sort_array(params), "&")
+    q_sorted = F.array_join(F.sort_array(F.array_distinct(params)), "&")
     q_part = F.when(
         q_sorted != "", F.concat(F.lit("?"), q_sorted)
     ).otherwise(F.lit(""))

@@ -31,6 +31,36 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
 
 
+def test_lang_id_scripts(spark):
+    """Script vote beats stopwords; kana beats Han-majority; one quoted
+    CJK char below the 5% threshold does NOT flip an English doc."""
+    d = spark.createDataFrame(
+        [
+            (1, "これはテストのためのかなだけの文です"),  # kana-only -> ja
+            (2, "日本国憲法第九条の規定により戦争を放棄する"),  # Han-majority + kana -> still ja
+            (3, "你好世界这是一个中文文档没有假名"),  # Han only -> zh
+            (4, "한국어 문서입니다 한글만 있습니다"),  # ko
+            (5, "Это русский текст для проверки кириллицы"),  # ru
+            (6, "هذا نص عربي للاختبار"),  # ar
+            (7, "यह हिंदी में एक परीक्षण दस्तावेज है"),  # hi
+            (8, "Αυτό είναι ένα ελληνικό κείμενο δοκιμής"),  # el
+            # one Han char in a long English sentence: threshold holds
+            (9, "The quick brown fox and the lazy dog went to the market 中"),
+            # script chars present in a SHORT doc: script wins over 'the'
+            (10, "the 漢字"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.detected_lang, r.lang_score) for r in lang_id(d).collect()}
+    langs = {k: v[0] for k, v in got.items()}
+    assert langs == {
+        1: "ja", 2: "ja", 3: "zh", 4: "ko", 5: "ru",
+        6: "ar", 7: "hi", 8: "el", 9: "en", 10: "zh",
+    }
+    assert got[2][1] > 0  # score = kana count, not Han count
+    assert got[9][1] >= 2  # stopword hits ('the' x2 + 'and')
+
+
 def test_quality_metrics(spark):
     d = spark.createDataFrame([(1, "Hello, world! The end.")], "doc_id long, text string")
     r = quality_metrics(d).collect()[0]

@@ -35,6 +35,15 @@ def test_canonical_url_rules(spark):
         "http://a.com/p?utm_only=1": "http://a.com/p",
         # query on root, fragment after query
         "HTTPS://A.com/?z=9&y=8#x": "https://a.com/?y=8&z=9",
+        # pct normalization: unreserved decodes, reserved uppercases
+        "http://a.com/%41%2fb?x=%7e%3f": "http://a.com/A%2Fb?x=~%3F",
+        # pct-decoded tracker name is still caught
+        "http://a.com/p?%75tm_source=x&a=1": "http://a.com/p?a=1",
+        # click trackers dropped; 'refresh' is NOT 'ref'
+        "http://a.com/p?fbclid=abc&gclid=1&ref=nl&refresh=1&a=1":
+            "http://a.com/p?a=1&refresh=1",
+        # exact-duplicate params collapse; same-key-diff-value kept
+        "http://a.com/p?a=1&b=2&a=1&a=2": "http://a.com/p?a=1&a=2&b=2",
     }
     got = _canon(spark, list(cases))
     for (raw, want), c in zip(cases.items(), got):
