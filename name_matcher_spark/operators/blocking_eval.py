@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _token_prefix_key(df: DataFrame) -> F.Column:
+def _token_prefix_key(prefix: str) -> F.Column:
     """Composite normalized-token-prefix key (north-star blocking
     family): birth year + first 2 chars of the normalized last name +
     first 1 of the normalized first name. Coarser than initials+soundex
@@ -33,36 +33,45 @@ def _token_prefix_key(df: DataFrame) -> F.Column:
     This mirrors the DuckDB oracle, where the equi-join on
     year(birthdate) drops NULLs."""
     return F.concat(
-        df["birth_year"].cast("string"),
+        F.col(f"{prefix}birth_year").cast("string"),
         F.lit("|"),
-        F.substring(F.coalesce(df["norm_last"], F.lit("")), 1, 2),
+        F.substring(F.coalesce(F.col(f"{prefix}norm_last"), F.lit("")), 1, 2),
         F.lit("|"),
-        F.substring(F.coalesce(df["norm_first"], F.lit("")), 1, 1),
+        F.substring(F.coalesce(F.col(f"{prefix}norm_first"), F.lit("")), 1, 1),
     )
+
+
+# Each side is projected to side-unique column names BEFORE the join:
+# dataset-id disambiguation of df["col"] refs breaks down on a true
+# self-join (p1 is p2 — Spark sees the two key expressions as the same
+# column tree, warns "trivially true predicate", then fails the
+# ambiguity check), and evaluating a strategy against the SAME table
+# on both sides is a legitimate dedup use of this tool.
+_KEY_COLS = ["birthdate", "birth_year", "first_initial", "last_initial", "block_key"]
 
 
 def _candidates_for(p1: DataFrame, p2: DataFrame, strategy: str) -> DataFrame:
     extra = ["norm_first", "norm_last"] if strategy == "token_prefix" else []
     l = p1.select(
-        F.col("id").alias("id_1"), "birthdate", "birth_year",
-        "first_initial", "last_initial", "block_key", *extra,
+        F.col("id").alias("id_1"),
+        *[F.col(c).alias(f"l_{c}") for c in _KEY_COLS + extra],
     )
     r = p2.select(
-        F.col("id").alias("id_2"), "birthdate", "birth_year",
-        "first_initial", "last_initial", "block_key", *extra,
+        F.col("id").alias("id_2"),
+        *[F.col(c).alias(f"r_{c}") for c in _KEY_COLS + extra],
     )
     if strategy == "birthdate":
-        cond = [l["birthdate"] == r["birthdate"]]
+        cond = [F.col("l_birthdate") == F.col("r_birthdate")]
     elif strategy == "year_initials":
         cond = [
-            l["birth_year"] == r["birth_year"],
-            l["first_initial"] == r["first_initial"],
-            l["last_initial"] == r["last_initial"],
+            F.col("l_birth_year") == F.col("r_birth_year"),
+            F.col("l_first_initial") == F.col("r_first_initial"),
+            F.col("l_last_initial") == F.col("r_last_initial"),
         ]
     elif strategy == "bkey_exact":
-        cond = [l["block_key"] == r["block_key"]]
+        cond = [F.col("l_block_key") == F.col("r_block_key")]
     elif strategy == "token_prefix":
-        cond = [_token_prefix_key(l) == _token_prefix_key(r)]
+        cond = [_token_prefix_key("l_") == _token_prefix_key("r_")]
     else:
         raise ValueError(f"unknown blocking strategy: {strategy}")
     return l.join(r, cond).select("id_1", "id_2")
