@@ -62,3 +62,36 @@ def test_option6_golden(spark):
         ("E-UUID", "105"),
         ("E-UUID", "106"),
     }
+
+
+def test_row_id_fails_loudly_on_checkpoint_block_loss(spark):
+    """Worker-loss resilience for the row_id path: the offset map is
+    measured on a localCheckpoint-pinned partitioning. If those
+    checkpoint blocks vanish (executor loss), Spark must fail LOUDLY —
+    lineage is truncated, so a silent re-run of the nondeterministic
+    range partitioning (which could mismatch the offset map and corrupt
+    row_ids) is impossible by construction. Simulates the loss by
+    dropping the checkpointed RDD's blocks from the block manager."""
+    import pytest
+
+    from name_matcher_spark.operators.household import _with_row_id
+
+    df = spark.createDataFrame(
+        [(f"U{i}", f"H{i % 7}", 80.0 + i) for i in range(100)],
+        "uuid string, hh_id string, match_percentage double",
+    )
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    res = _with_row_id(df)
+    assert res.count() == 100  # healthy path first
+
+    new_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert new_ids, "localCheckpoint should register a pinned RDD"
+    bmm = jsc.sc().env().blockManager().master()
+    for rid in new_ids:
+        bmm.removeRdd(int(rid), True)  # the simulated executor loss
+
+    with pytest.raises(Exception) as ei:
+        res.count()
+    msg = str(ei.value)
+    assert "heckpoint block" in msg or "rdd_" in msg or "block" in msg.lower()

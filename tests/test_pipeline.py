@@ -189,3 +189,44 @@ def test_stage_chain_invalidates_on_content_edit(spark, tmp_path):
     ck.write("up", a2)
     ck.run_stage("down", lambda: (built.append(1), ck.read("up"))[1], inputs=["up"])
     assert built == [1, 1]
+
+
+def test_repeated_batch_calls_leave_no_cache_entries(spark, tmp_path):
+    """Batch-caller cache hygiene (the streaming loop's `pins` contract,
+    now wired through run_linkage too): repeated match_fuzzy calls with
+    pins drained, and repeated run_linkage calls, must not grow the
+    session's persistent-RDD set — a long-lived batch session issuing
+    many linkage calls would otherwise leak cache entries per call."""
+    from name_matcher_spark.operators.fuzzy_join import match_fuzzy
+    from name_matcher_spark.operators.prepare import prepare_persons
+
+    a_pd, b_pd, _ = make_dirty(200)
+    pa = prepare_persons(spark.createDataFrame(a_pd))
+    pb = prepare_persons(spark.createDataFrame(b_pd))
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # No-GROWTH, not equality: in a shared session Spark's
+    # ContextCleaner also releases dead entries from earlier tests
+    # concurrently, so the count can legitimately DROP below base.
+    base = n_cached()
+    for _ in range(3):
+        pins: list = []
+        assert match_fuzzy(pa, pb, include_middle=False, pins=pins).count() > 0
+        assert pins, "match_fuzzy should have pinned its tables"
+        for df in pins:
+            df.unpersist(blocking=True)
+        assert n_cached() <= base
+
+    # run_linkage drains its own pins once the pairs_fuzzy checkpoint
+    # materializes; two full builds (distinct work dirs) -> no growth.
+    cfg = LinkageConfig(stages=("pairs_fuzzy",))
+    for d in ("wd1", "wd2"):
+        run_linkage(
+            spark, str(tmp_path / d),
+            persons_a=spark.createDataFrame(a_pd),
+            persons_b=spark.createDataFrame(b_pd),
+            config=cfg,
+        )
+        assert n_cached() <= base
