@@ -75,6 +75,10 @@ BENCH_QUERIES = {
     # crawl URL-canonicalization dedup pass.
     "dd_pipeline": harness.dd_pipeline,
     "wp_url_canon": harness.wp_url_canon,
+    # Round-4 addition: the full crawl composition — URL dedup (latest-
+    # crawl survivor) -> html_to_text -> tiered dedup -> extract ->
+    # algo1 linkage -> clusters, one lazy plan (the north-star demo).
+    "wp_crawl_e2e": harness.wp_crawl_e2e,
 }
 
 
@@ -126,7 +130,13 @@ def main() -> None:
     times: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     for name, fn in BENCH_QUERIES.items():
-        passes = 3 if name.endswith("e2e") else 2
+        # wp_crawl_e2e runs ~7 internally-materialized stages (~90 s
+        # at sf0.1) — one pass: steal-noise amortizes across its many
+        # jobs, and 3 passes would dominate the whole bench wall.
+        if name == "wp_crawl_e2e":
+            passes = 1
+        else:
+            passes = 3 if name.endswith("e2e") else 2
         best = float("inf")
         for _ in range(passes):
             t0 = time.time()

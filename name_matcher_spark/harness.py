@@ -1253,7 +1253,26 @@ def dd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline(d.unionByName(dup), minhash_hash_fn="md5")
 
 
-def _dedup_pipeline_sql() -> str:
+def _dedup_tiers_sql(
+    corpus: str,
+    shingle_k: int = 5,
+    verify_k: int = 3,
+    verify_threshold: float = 0.62,
+    max_doc_freq: int | None = 100,
+) -> str:
+    """The proven per-tier dedup oracle CTE chain (exact md5 groups ->
+    8-hash/4-band md5 MinHash LSH over ``shingle_k``-gram shingles ->
+    ``verify_k``-gram Jaccard verify at ``verify_threshold`` with
+    optional ``max_doc_freq`` stop-gram cut -> recursive connected
+    components -> longest-text canonical), over
+    any CTE ``corpus`` providing (doc_id, t) with t ALREADY normalized
+    (lower + whitespace-fold + trim, the _norm_text contract). Emitted
+    CTE names: hashed/assigned/surv/off5/grams5/sigs/bands/cand/off3/
+    grams3_all/grams3/sizes/inter/verified/edges/reach/comp/member/
+    ranked/cluster_canon/near. Both DD_PIPELINE_SQL and the crawl e2e
+    oracle assemble from this one generator, so a fix to a tier rule
+    propagates to every chained oracle. Parameters mirror Spark's
+    dedup_pipeline(shingle_k=, max_doc_freq=) exactly."""
     hash_cols = ",\n    ".join(
         f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8)
     )
@@ -1261,15 +1280,14 @@ def _dedup_pipeline_sql() -> str:
         f"  SELECT doc_id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS key FROM sigs"
         for b in range(4)
     )
-    return f"""
-WITH RECURSIVE docs2 AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents
-),
-hashed AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-  FROM docs2
+    gram_cut = (
+        "\n  WHERE gram IN (SELECT gram FROM grams3_all "
+        f"GROUP BY gram HAVING count(*) <= {max_doc_freq})"
+        if max_doc_freq is not None
+        else ""
+    )
+    return f"""hashed AS (
+  SELECT doc_id, md5(t) AS h FROM {corpus}
 ),
 assigned AS (
   SELECT hashed.doc_id, g.exact_canon
@@ -1278,16 +1296,16 @@ assigned AS (
   ) g ON hashed.h = g.h
 ),
 surv AS (
-  SELECT d.doc_id, regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') AS t
-  FROM docs2 d JOIN assigned a ON a.doc_id = d.doc_id
+  SELECT c.doc_id, c.t
+  FROM {corpus} c JOIN assigned a ON a.doc_id = c.doc_id
   WHERE a.doc_id = a.exact_canon
 ),
 off5 AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
-  FROM surv WHERE strlen(t) >= 5
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - {shingle_k - 1})) AS i
+  FROM surv WHERE strlen(t) >= {shingle_k}
 ),
 grams5 AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM off5
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {shingle_k}) AS gram FROM off5
 ),
 sigs AS (
   SELECT doc_id, {hash_cols}
@@ -1302,15 +1320,14 @@ cand AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 off3 AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 2)) AS i
-  FROM surv WHERE strlen(t) >= 3
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - {verify_k - 1})) AS i
+  FROM surv WHERE strlen(t) >= {verify_k}
 ),
 grams3_all AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM off3
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {verify_k}) AS gram FROM off3
 ),
 grams3 AS (
-  SELECT doc_id, gram FROM grams3_all
-  WHERE gram IN (SELECT gram FROM grams3_all GROUP BY gram HAVING count(*) <= 100)
+  SELECT doc_id, gram FROM grams3_all{gram_cut}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams3 GROUP BY doc_id),
 inter AS (
@@ -1325,7 +1342,7 @@ verified AS (
   FROM inter i
   JOIN sizes na ON i.id_a = na.doc_id
   JOIN sizes nb ON i.id_b = nb.doc_id
-  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.62
+  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= {verify_threshold}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM verified
@@ -1353,8 +1370,13 @@ near AS (
   SELECT r.node AS doc_id, cc.canon AS canonical_id
   FROM ranked r JOIN cluster_canon cc USING (cluster_id)
   WHERE r.rk > 1
-)
-SELECT s.doc_id, 'kept' AS status, s.doc_id AS canonical_id
+)"""
+
+
+# Per-doc disposition over the tier CTEs: exact_dups whose canonical
+# was itself absorbed as a near-dup resolve through to the cluster
+# canonical (dedup_pipeline's remap join).
+_DEDUP_DISPOSITION_SQL = """SELECT s.doc_id, 'kept' AS status, s.doc_id AS canonical_id
 FROM surv s
 WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.doc_id = s.doc_id)
 UNION ALL
@@ -1362,11 +1384,22 @@ SELECT a.doc_id, 'exact_dup', coalesce(n.canonical_id, a.exact_canon)
 FROM assigned a LEFT JOIN near n ON n.doc_id = a.exact_canon
 WHERE a.doc_id <> a.exact_canon
 UNION ALL
-SELECT doc_id, 'near_dup', canonical_id FROM near
+SELECT doc_id, 'near_dup', canonical_id FROM near"""
+
+
+DD_PIPELINE_SQL = f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+),
+corpus AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM docs2
+),
+{_dedup_tiers_sql('corpus')}
+{_DEDUP_DISPOSITION_SQL}
 """
-
-
-DD_PIPELINE_SQL = _dedup_pipeline_sql()
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2114,10 +2147,10 @@ ORACLES: dict[str, str] = {
 PAGE_LANGS = ["en", "en", "en", "en", "en", "en", "en", "es", "de", "fr"]
 
 
-def _persons_to_pages(p: DataFrame, tag: str) -> DataFrame:
-    """(url, warc_ts, html, text, lang) from a person table — the same
-    template as fixtures/pages.py, expressed in JVM functions."""
-    ent = F.concat(
+def _ent_expr() -> F.Column:
+    """The canonical entity block (same template as fixtures/pages.py),
+    from a person row's columns."""
+    return F.concat(
         F.lit("NAME: "),
         F.coalesce("first_name", F.lit("")),
         F.lit("|"),
@@ -2129,8 +2162,11 @@ def _persons_to_pages(p: DataFrame, tag: str) -> DataFrame:
         F.lit("\nHH: "),
         F.coalesce("hh_id", F.lit("")),
     )
+
+
+def _page_body(ent: F.Column) -> F.Column:
     h = (F.col("id") % 97).cast("string")
-    body = F.concat(
+    return F.concat(
         F.lit("<html><head><title>record "),
         F.col("id").cast("string"),
         F.lit("</title></head><body>\n<p>boilerplate nav and chrome for host"),
@@ -2139,6 +2175,13 @@ def _persons_to_pages(p: DataFrame, tag: str) -> DataFrame:
         ent,
         F.lit("\n</div>\n<p>footer boilerplate</p>\n</body></html>"),
     )
+
+
+def _persons_to_pages(p: DataFrame, tag: str) -> DataFrame:
+    """(url, warc_ts, html, text, lang) from a person table — the same
+    template as fixtures/pages.py, expressed in JVM functions."""
+    h = (F.col("id") % 97).cast("string")
+    body = _page_body(_ent_expr())
     return p.select(
         F.concat(
             F.lit("https://host"), h, F.lit(".example/"), F.lit(tag), F.lit("/p"),
@@ -2517,6 +2560,306 @@ FROM joined
 """
 
 
+# --- full crawl-composition query (the north-star demo) -------------------
+#
+# url_dedup_groups -> extract_entities -> dedup_pipeline (on extracted
+# content; see the template-domination note in wp_crawl_e2e) ->
+# match_algo1 -> cluster_pairs, staged over a synthetic crawl with
+# URL-level refetches (case noise, www, :80, trailing slash, fragment,
+# tracker params), byte-identical mirror hosts (exact-dup tier) and
+# archive near-copies (LSH+Jaccard tier). The oracle assembles the
+# proven per-stage oracles: closed-form canonical/survivor facts (the
+# synthesis is deterministic, so a hash match proves canonical_url and
+# the latest-crawl struct-max produce exactly the expected values),
+# _dedup_tiers_sql over the closed-form page text, the algo1 equi-join,
+# and the recursive-reach clustering with the cluster_pairs 2n/2n+1 node
+# encoding. Output: one row per crawl doc with every stage's verdict.
+
+_CRAWL_T0 = 1704067200  # 2024-01-01T00:00:00Z, the synthetic crawl epoch
+
+
+def _crawl_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, warc_ts, html): per person, doc variants v0 (always),
+    v1 mirror host iff id%7==0 (byte-identical html), v2 archive copy
+    iff id%11==0 (extra NOTE line in the entity div); per doc, fetch
+    f0 (case noise + utm), f1 iff id%3==0 (www + :80 + trailing slash +
+    fragment, newer), f2 iff id%4==0 (click trackers, newest)."""
+    p = persons_a(spark, sf_dir)
+    pid = F.col("id")
+    docs = p.withColumn(
+        "v",
+        F.explode(
+            F.filter(
+                F.array(F.lit(0), F.lit(1), F.lit(2)),
+                lambda v: (v == 0)
+                | ((v == 1) & (pid % 7 == 0))
+                | ((v == 2) & (pid % 11 == 0)),
+            )
+        ),
+    )
+    # BIO carries the person id, so every person's content is unique
+    # even under name-pool collisions (no accidental cross-person
+    # near-dups), and no constant template run reaches 13 chars — the
+    # property that keeps the 13-gram universe content-specific. (The
+    # normalized glue " hh: bio: p" is 11 chars; a longer constant run
+    # would put template-only grams in EVERY doc and send the verify
+    # gram join quadratic — measured 157 s with an 18-char run.)
+    bio = F.concat(
+        F.lit("\nBIO: p"), pid.cast("string"),
+        F.lit(" city c"), (pid % 50).cast("string"),
+        F.lit(" job j"), (pid % 12).cast("string"),
+    )
+    ent = F.when(
+        F.col("v") == 2, F.concat(_ent_expr(), bio, F.lit("\n(archive)"))
+    ).otherwise(F.concat(_ent_expr(), bio))
+    docs = docs.select(
+        "id", "v", F.encode(_page_body(ent), "UTF-8").alias("html")
+    )
+    fx = docs.withColumn(
+        "f",
+        F.explode(
+            F.filter(
+                F.array(F.lit(0), F.lit(1), F.lit(2)),
+                lambda f: (f == 0)
+                | ((f == 1) & (pid % 3 == 0))
+                | ((f == 2) & (pid % 4 == 0)),
+            )
+        ),
+    )
+    host = F.concat(F.lit("host"), (pid % 97).cast("string"), F.lit(".example"))
+    host_cased = F.concat(F.lit("Host"), (pid % 97).cast("string"), F.lit(".Example"))
+    path = F.concat(
+        F.lit("/d"), F.col("v").cast("string"), F.lit("/p"), pid.cast("string")
+    )
+    url = (
+        F.when(
+            F.col("f") == 0,
+            F.concat(
+                F.when(pid % 2 == 0, F.lit("Http://")).otherwise(F.lit("http://")),
+                F.when(pid % 2 == 0, host_cased).otherwise(host),
+                path,
+                F.lit("?utm_source=crawler"),
+            ),
+        )
+        .when(
+            F.col("f") == 1,
+            F.concat(F.lit("HTTP://www."), host, F.lit(":80"), path, F.lit("/#frag")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), host, path,
+                F.lit("?fbclid=x"), (pid % 7).cast("string"),
+                F.lit("&utm_medium=m"),
+            )
+        )
+    )
+    ts = F.timestamp_seconds(F.lit(_CRAWL_T0) + pid * 3 + F.col("f"))
+    return fx.select(url.alias("url"), ts.alias("warc_ts"), "html")
+
+
+_CRAWL_DOC_RE = "/d([0-9])/p([0-9]+)$"
+
+
+def _crawl_doc_id(url_col: F.Column) -> F.Column:
+    return (
+        F.regexp_extract(url_col, _CRAWL_DOC_RE, 2).cast("long") * 4
+        + F.regexp_extract(url_col, _CRAWL_DOC_RE, 1).cast("long")
+    )
+
+
+def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per crawl doc: URL-canon group facts (canonical string,
+    refetch count, surviving crawl timestamp), dedup disposition
+    (kept / exact_dup / near_dup + canonical doc), and for kept docs
+    the algo1 match count against persons_b plus the connected-
+    component cluster label. Every stage is the production operator;
+    nothing is collected to the driver between stages (the three
+    shared stage boundaries are localCheckpoint-materialized, see
+    below — the run_linkage staging discipline, not driver round
+    trips).
+
+    100 TB posture: URL dedup is one shuffle on the canonical key with
+    a struct-max survivor (map-side combine); the survivor-content
+    resolve is an equi-join on the kept raw URL; the dedup tiers are
+    the audited dedup_pipeline plan (never all-pairs); linkage is the
+    blocked equi-join; clustering is O(diameter) label propagation.
+    The stage boundaries every downstream consumer shares (deduped
+    page set, extracted entities, dedup disposition, match pairs) are
+    localCheckpoint-materialized — run_linkage's stage discipline:
+    each is consumed 2-4× (the cluster loop re-evaluates its edge
+    lineage per round), and unpinned the whole upstream re-ran per
+    consumer. Lineage truncation also means an executor loss fails
+    loudly instead of silently recomputing; blocks are GC-reclaimed
+    with the DataFrames (no CacheManager entry leaks)."""
+    from .operators.clustering import cluster_pairs
+    from .operators.dedup import dedup_pipeline
+    from .operators.extract import extract_entities
+    from .operators.web import url_dedup_groups
+
+    fetches = _crawl_fetches(spark, sf_dir)
+    groups = url_dedup_groups(fetches, ts_col="warc_ts", min_group=1)
+    pages = groups.join(
+        fetches.select(
+            F.col("url").alias("keep_url"), "warc_ts", "html"
+        ),
+        "keep_url",
+    ).select(
+        _crawl_doc_id(F.col("canonical")).alias("doc_id"),
+        "canonical",
+        "n_urls",
+        F.unix_timestamp("warc_ts").alias("kept_ts"),
+        F.decode("html", "UTF-8").alias("page_html"),
+    ).localCheckpoint()
+
+    # Extract BEFORE the near-dup tiers: page-level shingling is
+    # template-dominated on real crawls (every doc shares the site
+    # chrome, so nearly every MinHash lands on a boilerplate shingle —
+    # measured here: ~90% of ALL pairs collided in some band and the
+    # candidate join went quadratic, 150 s at sf0.1). Deduping the
+    # extracted entity content is the standard crawl architecture
+    # (boilerplate-removal -> shingle); html_to_text's generic
+    # boilerplate strip is oracle-verified separately (wp_text_extract).
+    # Both LSH shingles AND the verify grams use k=13 — long enough
+    # that every gram spans person-specific content (no 13-char
+    # constant template run exists in the entity), which (a) keeps
+    # signatures content-specific and (b) bounds the verify gram
+    # join's fan-out by content-collision frequency, so the
+    # doc-frequency cut is not needed (max_doc_freq=None) and the
+    # Jaccard values are scale-independent. threshold 0.8: an archive
+    # re-post (content + a short suffix, J = |A|/|B| by the prefix
+    # property) scores ~0.85-0.9; the worst same-name-pool collision
+    # (names from a finite pool, content differing in id/date digits)
+    # scores ~0.4.
+    ents = extract_entities(
+        pages.select(
+            F.col("canonical").alias("url"),
+            F.col("kept_ts").alias("warc_ts"),
+            F.lit("en").alias("lang"),
+            F.col("page_html").alias("text"),
+        )
+    ).select(
+        _crawl_doc_id(F.col("url")).alias("id"),
+        F.col("url").alias("uuid"),
+        "entity_text",
+        "first_name", "middle_name", "last_name", "birthdate", "hh_id",
+    ).localCheckpoint()
+
+    disp = dedup_pipeline(
+        ents.select(
+            F.col("id").alias("doc_id"), F.col("entity_text").alias("text")
+        ),
+        shingle_k=13,
+        verify_k=13,
+        verify_threshold=0.8,
+        max_doc_freq=None,
+        minhash_hash_fn="md5",
+    ).localCheckpoint()
+
+    kept_ids = disp.filter(F.col("status") == "kept").select(
+        F.col("doc_id").alias("id")
+    )
+    la = prepare_persons(ents.drop("entity_text").join(kept_ids, "id", "leftsemi"))
+    lb = prepare_persons(persons_b(spark, sf_dir))
+    pairs = match_algo1(la, lb).select("id_1", "id_2", "confidence").localCheckpoint()
+
+    counts = pairs.groupBy(F.col("id_1").alias("doc_id")).agg(
+        F.count("*").alias("n_pair")
+    )
+    clus = (
+        cluster_pairs(pairs, threshold=0.95)
+        .filter(F.col("side") == "a")
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+    return (
+        pages.select("doc_id", "canonical", "n_urls", "kept_ts")
+        .join(disp, "doc_id")
+        .join(counts, "doc_id", "left")
+        .join(clus, "doc_id", "left")
+        .select(
+            "doc_id",
+            "canonical",
+            "n_urls",
+            "kept_ts",
+            "status",
+            "canonical_id",
+            F.when(
+                F.col("status") == "kept", F.coalesce("n_pair", F.lit(0))
+            ).cast("long").alias("n_matches"),
+            "cluster_id",
+        )
+    )
+
+
+WP_CRAWL_SQL = f"""
+WITH RECURSIVE pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
+docs AS (
+  SELECT id * 4 AS doc_id, id, 0 AS v FROM pa
+  UNION ALL SELECT id * 4 + 1, id, 1 FROM pa WHERE id % 7 = 0
+  UNION ALL SELECT id * 4 + 2, id, 2 FROM pa WHERE id % 11 = 0
+),
+meta AS (
+  SELECT doc_id, id, v,
+    'http://host' || CAST(id % 97 AS VARCHAR) || '.example/d'
+      || CAST(v AS VARCHAR) || '/p' || CAST(id AS VARCHAR) AS canonical,
+    1 + CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END
+      + CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS n_urls,
+    {_CRAWL_T0} + id * 3
+      + CASE WHEN id % 4 = 0 THEN 2 WHEN id % 3 = 0 THEN 1 ELSE 0 END AS kept_ts
+  FROM docs
+),
+corpus AS MATERIALIZED (
+  SELECT d.doc_id,
+    'name: ' || lower(coalesce(p.first_name, ''))
+    || '|' || lower(coalesce(p.middle_name, ''))
+    || '|' || lower(coalesce(p.last_name, ''))
+    || ' born: ' || strftime(p.birthdate, '%Y-%m-%d')
+    || ' hh: bio: p' || CAST(p.id AS VARCHAR)
+    || ' city c' || CAST(p.id % 50 AS VARCHAR)
+    || ' job j' || CAST(p.id % 12 AS VARCHAR)
+    || CASE WHEN d.v = 2 THEN ' (archive)' ELSE '' END AS t
+  FROM docs d JOIN pa p USING (id)
+),
+{_dedup_tiers_sql('corpus', shingle_k=13, verify_k=13, verify_threshold=0.8, max_doc_freq=None)},
+-- MATERIALIZED: disp/pairs are each consumed by several downstream
+-- CTEs; inlined, DuckDB re-expands the whole recursive tier chain per
+-- reference and the parquet reader fan-out exhausts the fd limit.
+disp AS MATERIALIZED (
+{_DEDUP_DISPOSITION_SQL}
+),
+pairs AS MATERIALIZED (
+  SELECT d.doc_id AS id_1, b.id AS id_2
+  FROM disp k
+  JOIN docs d ON d.doc_id = k.doc_id
+  JOIN pa a ON a.id = d.id
+  JOIN pb b ON lower(a.first_name) = lower(b.first_name)
+           AND lower(a.last_name) = lower(b.last_name)
+           AND a.birthdate = b.birthdate
+  WHERE k.status = 'kept'
+),
+ledges AS (
+  SELECT id_1 * 2 AS src, id_2 * 2 + 1 AS dst FROM pairs
+  UNION
+  SELECT id_2 * 2 + 1 AS src, id_1 * 2 AS dst FROM pairs
+),
+lreach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM ledges
+  UNION
+  SELECT e.dst, r.lbl FROM lreach r JOIN ledges e ON e.src = r.node
+),
+lcomp AS (SELECT node, min(lbl) AS cluster_id FROM lreach GROUP BY node),
+counts AS (SELECT id_1 AS doc_id, count(*) AS n FROM pairs GROUP BY id_1)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.canonical,
+  CAST(m.n_urls AS BIGINT) AS n_urls, CAST(m.kept_ts AS BIGINT) AS kept_ts,
+  p.status, CAST(p.canonical_id AS BIGINT) AS canonical_id,
+  CAST(CASE WHEN p.status = 'kept' THEN coalesce(c.n, 0) END AS BIGINT) AS n_matches,
+  CAST(l.cluster_id AS BIGINT) AS cluster_id
+FROM meta m
+JOIN disp p ON p.doc_id = m.doc_id
+LEFT JOIN counts c ON c.doc_id = m.doc_id
+LEFT JOIN lcomp l ON l.node = m.doc_id * 2
+"""
+
+
 def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 vs A2 pair-set overlap (main.rs:599-605)."""
     from .sources.export import algo_overlap_stats
@@ -2678,6 +3021,7 @@ QUERIES.update(
         "wp_stream_linkage": wp_stream_linkage,
         "wp_url_canon": wp_url_canon,
         "wp_text_extract": wp_text_extract,
+        "wp_crawl_e2e": wp_crawl_e2e,
         "lk_overlap_stats": lk_overlap_stats,
         "lk_partition_hist": lk_partition_hist,
         "lk_date_similarity": lk_date_similarity,
@@ -2691,6 +3035,7 @@ ORACLES.update(
         "wp_stream_linkage": LK_FUZZY_SQL,
         "wp_url_canon": WP_URL_CANON_SQL,
         "wp_text_extract": WP_TEXT_EXTRACT_SQL,
+        "wp_crawl_e2e": WP_CRAWL_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,
         "lk_partition_hist": LK_PARTITION_SQL,
         "lk_date_similarity": LK_DATE_SIM_SQL,

@@ -194,3 +194,25 @@ def test_new_round3_operators_plan_quality(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wp_crawl_e2e_plan_quality(spark):
+    """The crawl-composition chain (URL dedup -> html_to_text ->
+    tiered dedup -> extract -> algo1 -> clusters) must keep the
+    crawl-scale plan properties: no Python nodes with the kernels
+    registered, and no cartesian/nested-loop join anywhere."""
+    import pytest as _pytest
+
+    from name_matcher_spark import harness
+    from name_matcher_spark.functions import normalize, phonetic
+
+    if not (
+        normalize.JVM_NORM_ENABLED
+        and phonetic.JVM_SX_ENABLED
+        and phonetic.JVM_DMETA_ENABLED
+    ):
+        _pytest.skip("JVM kernels not registered (jar build unavailable)")
+    plan = _plan(harness.wp_crawl_e2e(spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
