@@ -2709,6 +2709,14 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_urls",
         F.unix_timestamp("warc_ts").alias("kept_ts"),
         F.decode("html", "UTF-8").alias("page_html"),
+    ).repartition(
+        # AQE coalesces this small-by-bytes shuffle to ~1 partition and
+        # localCheckpoint PINS that layout — then every downstream
+        # compute-heavy stage (shingle explode, minhash partial aggs,
+        # extraction regexps) runs single-task no matter how many
+        # cores exist (measured: 4->16 cores gave only 1.3x). Rows
+        # here are narrow but row-COSTLY; pin the fan-out explicitly.
+        spark.sparkContext.defaultParallelism
     ).localCheckpoint()
 
     # Extract BEFORE the near-dup tiers: page-level shingling is
@@ -2744,6 +2752,7 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_name", "middle_name", "last_name", "birthdate", "hh_id",
     ).localCheckpoint()
 
+    dedup_pins: list[DataFrame] = []
     disp = dedup_pipeline(
         ents.select(
             F.col("id").alias("doc_id"), F.col("entity_text").alias("text")
@@ -2753,14 +2762,29 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_threshold=0.8,
         max_doc_freq=None,
         minhash_hash_fn="md5",
+        pins=dedup_pins,
+        # sets-mode verify: short gram arrays + millions of candidates
+        # is exactly its sweet spot (8.2x over the exploded gram join
+        # here, bit-identical output — the oracle replays the join
+        # formulation and still hash-matches).
+        verify_mode="sets",
     ).localCheckpoint()
+    for df in dedup_pins:  # checkpoint materialized -> caches are dead
+        df.unpersist()
 
     kept_ids = disp.filter(F.col("status") == "kept").select(
         F.col("doc_id").alias("id")
     )
     la = prepare_persons(ents.drop("entity_text").join(kept_ids, "id", "leftsemi"))
     lb = prepare_persons(persons_b(spark, sf_dir))
-    pairs = match_algo1(la, lb).select("id_1", "id_2", "confidence").localCheckpoint()
+    pairs = (
+        match_algo1(la, lb)
+        .select("id_1", "id_2", "confidence")
+        # same AQE-coalesce + checkpoint-pin hazard: the clustering
+        # loop's per-round work inherits this layout.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
     counts = pairs.groupBy(F.col("id_1").alias("doc_id")).agg(
         F.count("*").alias("n_pair")

@@ -68,6 +68,19 @@ def get_spark(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "64m",
         )
+        # AQE coalescing sizes partitions by SHUFFLE BYTES, which is
+        # blind to downstream per-row cost. This engine's rows are
+        # short texts whose next stage typically fans out 50-100
+        # grams/row × several hash calls per gram (MinHash, SimHash,
+        # verify), so 1 MB of input is seconds of CPU: with the 1 MB
+        # default minPartitionSize a ~4 MB survivor set coalesces to 2
+        # partitions and the whole dedup tier runs 2-task no matter
+        # how many slots exist (measured: 58 s of a 89 s crawl-e2e
+        # wall). 64k lets parallelism-first coalescing keep compute-
+        # dense small shuffles wide; at production scale partitions
+        # are orders of magnitude above either bound, so this only
+        # affects the small-input tail.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # Arrow channel for every pandas UDF (scoring kernels).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

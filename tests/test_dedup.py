@@ -182,3 +182,47 @@ def test_dedup_pipeline_dispositions(spark):
     # canonical must resolve through to the KEPT doc, never to 3
     assert out[5].status == "exact_dup" and out[5].canonical_id == 1
     assert out[7].status == "kept" and out[7].canonical_id == 7
+
+
+def test_dedup_pipeline_pins_drain_cache(spark):
+    """The pins hook surfaces the verify tier's cached gram table so
+    long-lived callers can drop it after materializing (the
+    match_fuzzy / run_linkage cache-hygiene contract)."""
+    from name_matcher_spark.operators.dedup import dedup_pipeline
+
+    rows = [(i, f"document number {i} with some shared words") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    pins: list = []
+    assert dedup_pipeline(df, pins=pins).count() == 20
+    assert pins, "verify tier should have pinned its gram table"
+    # Relative to the drain: the clustering rounds' localCheckpoint
+    # blocks are reclaimed asynchronously by the ContextCleaner, so an
+    # absolute before/after equality would flake. Draining the pins
+    # must remove at least their own entries.
+    before = n_cached()
+    for d in pins:
+        d.unpersist(blocking=True)
+    assert n_cached() <= before - len(pins)
+
+
+def test_verify_modes_identical(spark):
+    """mode='sets' (array_intersect over gram arrays, no exploded
+    pair-gram shuffle) must produce bit-identical (id_a, id_b, jaccard)
+    to the exploded-join formulation the DuckDB oracles replay."""
+    rows = [
+        (i, f"shared prefix text number {i % 5} plus unique tail {i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(df, k=5, hash_fn="md5")
+    j = ngram_jaccard_pairs(df, candidates=cands, k=3, threshold=0.3)
+    s = ngram_jaccard_pairs(df, candidates=cands, k=3, threshold=0.3, mode="sets")
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, s.collect()))
+    assert j.count() > 0  # the comparison is not vacuous
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, candidates=None, mode="sets").count()

@@ -167,6 +167,19 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--longlev":
         run_longlev()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-child":
+        crawl_child(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl":
+        levels = (4, 16)
+        if "--levels" in sys.argv:
+            i = sys.argv.index("--levels")
+            levels = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        inflate = 0
+        if "--inflate" in sys.argv:
+            inflate = int(sys.argv[sys.argv.index("--inflate") + 1])
+        run_crawl(levels, inflate)
+        return
     argv = list(sys.argv[1:])
     levels = (8, 32)
     if "--levels" in argv:
@@ -403,6 +416,122 @@ def run_longlev() -> dict:
         merged[f"longlev_local{hi}"] = res[hi]
         merged[f"longlev_speedup_{lo}_to_{hi}"] = round(speed, 3)
         merged[f"longlev_scaling_efficiency_{lo}_to_{hi}"] = round(speed / 4.0, 3)
+    path = REPO / "BENCH" / "scaling_latest.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data.update(merged)
+    path.write_text(json.dumps(data, indent=2))
+    print(json.dumps(merged, indent=2))
+    return merged
+
+
+def crawl_child(cpus: int, sf_dir: str) -> None:
+    """The crawl-composition query (harness.wp_crawl_e2e: URL dedup ->
+    extract -> tiered dedup -> linkage -> clusters) at one parallelism
+    level. Shuffle partitions are pinned (64) so the PLAN is identical
+    across levels — only the concurrent task slots differ, the local-
+    mode proxy for N vs 4N executors. min-of-2 after a warmup pass
+    (the chain JITs ~7 distinct stage shapes; the first pass is a
+    compiler benchmark)."""
+    from name_matcher_spark import harness
+    from name_matcher_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"crawl-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
+    )
+    harness.persons_a(spark, sf_dir).count()
+    passes = int(os.environ.get("NMS_CRAWL_PASSES", "3"))
+    walls, docs = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        docs = harness.wp_crawl_e2e(spark, sf_dir).count()
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls[1:])  # drop the JIT-dominated first pass
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": wall,
+                "walls": walls,
+                "docs": docs,
+                "docs_per_sec": round(docs / wall, 1),
+            }
+        )
+    )
+
+
+def inflate_crawl_input(sf_dir: str, k: int) -> str:
+    """K id-shifted copies of customer+orders into a cached temp sf
+    dir: the SAME wp_crawl_e2e job over a K× input. Person derivations
+    are pure functions of the integer id, so shifted copies stay
+    self-consistent (every order still links to its shifted customer)
+    while names/hosts/dates redistribute. Needed because at sf0.1 the
+    composition is scheduler-latency-bound (18.5k docs across ~7
+    staged jobs); the scaling question is about the data-sized
+    stages."""
+    import pandas as pd
+
+    out = CACHE / f"crawl_sf01_x{k}"
+    if (out / "customer.parquet").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pd.concat(
+        [cust.assign(c_custkey=cust["c_custkey"] + i * 1_000_000) for i in range(k)],
+        ignore_index=True,
+    ).to_parquet(out / "customer.parquet", index=False)
+    pd.concat(
+        [
+            orders.assign(
+                o_orderkey=orders["o_orderkey"] + i * 10_000_000,
+                o_custkey=orders["o_custkey"] + i * 1_000_000,
+            )
+            for i in range(k)
+        ],
+        ignore_index=True,
+    ).to_parquet(out / "orders.parquet", index=False)
+    return str(out)
+
+
+def run_crawl(levels: tuple[int, int] = (4, 16), inflate: int = 0) -> dict:
+    """Crawl-composition scaling at N->4N (default 4->16 — the pair
+    with multiprocessing-ceiling headroom on this box, see
+    run_longlev). Merges into BENCH/scaling_latest.json."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag_suffix = ""
+    if inflate:
+        sf_dir = inflate_crawl_input(sf_dir, inflate)
+        tag_suffix = f"_x{inflate}"
+    res = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--crawl-child", str(cpus), sf_dir],
+            capture_output=True, text=True, check=False, timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                res[cpus] = json.loads(line)
+        if cpus not in res:
+            raise RuntimeError(f"crawl child failed: {proc.stderr[-1500:]}")
+        print("crawl", cpus, "->", res[cpus])
+    lo, hi = levels
+    factor = hi / lo
+    speed = res[lo]["wall_sec"] / res[hi]["wall_sec"]
+    host = host_calibration(levels)
+    tag = f"{lo}_to_{hi}{tag_suffix}"
+    merged = {
+        f"crawl_local{lo}{tag_suffix}": res[lo],
+        f"crawl_local{hi}{tag_suffix}": res[hi],
+        f"crawl_speedup_{tag}": round(speed, 3),
+        f"crawl_scaling_efficiency_{tag}": round(speed / factor, 3),
+        f"crawl_host_calibration_mp_speedup_{tag}": host["speedup"],
+        f"crawl_efficiency_vs_host_ceiling_{tag}": round(
+            speed / host["speedup"], 3
+        ),
+        f"crawl_input{tag_suffix}": sf_dir,
+    }
     path = REPO / "BENCH" / "scaling_latest.json"
     data = json.loads(path.read_text()) if path.exists() else {}
     data.update(merged)
