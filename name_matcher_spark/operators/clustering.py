@@ -37,14 +37,20 @@ def connected_components(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # Undirected: keep both directions once, dedup.
+    # Lazy checkpoints throughout the loop: round 1's convergence count
+    # (a full scan) materializes bidir + labels + the round's result in
+    # ONE job. Eager checkpoints here cost one scheduler round trip
+    # each, and with O(diameter) rounds of tiny shuffles the fixed
+    # per-job latency — not the data — is what the loop's wall clock
+    # is made of (measured: 97 jobs across the crawl composition).
     bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    bidir = bidir.localCheckpoint(eager=True)
+    bidir = bidir.localCheckpoint(eager=False)
 
     labels = (
         bidir.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
@@ -70,11 +76,13 @@ def connected_components(
                     < F.min(F.when(F.col("is_self"), F.col("cluster_id")))
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        any_changed = (
-            new_labels.filter(F.col("_changed")).limit(1).count() > 0
-        )
+        # One job per round: this count scans EVERY partition (no
+        # limit — a partial action must not materialize a lazy
+        # checkpoint), so it materializes the round's checkpoint AND
+        # returns the convergence signal in the same job.
+        any_changed = new_labels.filter(F.col("_changed")).count() > 0
         labels = new_labels.drop("_changed")
         if not any_changed:
             break
@@ -135,16 +143,18 @@ def connected_components_bigstar(
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Lazy checkpoint materialized by the signature agg below —
+        # one full-scan job per round (see connected_components).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count("*").alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
         ).collect()[0]
