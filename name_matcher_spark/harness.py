@@ -2694,6 +2694,7 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import cluster_pairs
     from .operators.dedup import dedup_pipeline
     from .operators.extract import extract_entities
+    from .operators import web as web_mod
     from .operators.web import url_dedup_groups
 
     fetches = _crawl_fetches(spark, sf_dir)
@@ -2708,7 +2709,10 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical",
         "n_urls",
         F.unix_timestamp("warc_ts").alias("kept_ts"),
-        F.decode("html", "UTF-8").alias("page_html"),
+        # Lenient decode: one malformed byte sequence must not fail
+        # the crawl (operators/web.py::utf8_text; strict decode
+        # raises MALFORMED_CHARACTER_CODING under Spark 4 ANSI).
+        web_mod.utf8_text(F.col("html")).alias("page_html"),
     ).repartition(
         # AQE coalesces this small-by-bytes shuffle to ~1 partition and
         # localCheckpoint PINS that layout — then every downstream

@@ -141,6 +141,20 @@ def decode_html_entities(col: Column) -> Column:
 _WS_RE = "[ \\t\\n\\r\\f\\x0B\\x{00A0}]+"
 
 
+def utf8_text(col: Column) -> Column:
+    """Crawl-grade lenient binary -> UTF-8 string decode.
+
+    ``decode(col, 'UTF-8')`` raises MALFORMED_CHARACTER_CODING on the
+    first invalid byte sequence (Spark 4 ANSI), so ONE bad page —
+    a certainty in any real crawl: mislabeled charsets, truncated
+    fetches, binary served as text/html — fails the whole job.
+    Instead: cast binary -> string (wraps the raw bytes, no
+    validation) then ``make_valid_utf8`` (invalid sequences become
+    U+FFFD). Byte-identical to strict decode on valid UTF-8 input
+    (tested), pure JVM, NULL-propagating."""
+    return F.make_valid_utf8(col.cast("string"))
+
+
 def html_to_text(col: Column) -> Column:
     """Generic crawl-page text extraction per the 5 rules above.
     NULL html -> NULL text (regexp_replace null-propagates)."""

@@ -216,3 +216,17 @@ def test_wp_crawl_e2e_plan_quality(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_keeps_compute_dense_shuffles_wide(spark):
+    """Regression for the AQE bytes-blind-coalescing fix: this
+    engine's rows are short texts whose downstream stages fan out
+    ~100 grams x several hash calls per row, so the session must set
+    coalescePartitions.minPartitionSize low (64k) or AQE squeezes a
+    few-MB survivor shuffle to 1-2 partitions and the dedup tiers run
+    serially regardless of task slots (measured: 58 s of an 89 s
+    crawl-e2e wall)."""
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ) == "64k"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -177,3 +177,40 @@ def test_html_to_text_null_and_empty(spark):
     df = spark.createDataFrame([(None,), ("",), ("   ",)], "html string")
     got = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
     assert got == [None, "", ""]
+
+
+def test_utf8_text_lenient_on_malformed_bytes(spark):
+    """Real crawls serve mislabeled charsets and truncated fetches;
+    one bad byte sequence must degrade to U+FFFD, not fail the job
+    (strict decode raises MALFORMED_CHARACTER_CODING under ANSI)."""
+    from name_matcher_spark.operators.web import utf8_text
+
+    rows = [
+        (1, bytearray(b"<p>hello \xff\xfe world</p>")),  # invalid UTF-8
+        (2, bytearray("<p>héllo 中文</p>".encode())),  # valid
+        (3, bytearray(b"\x80\x80")),  # nothing but invalid bytes
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {
+        r.id: r.t
+        for r in df.select("id", utf8_text(F.col("html")).alias("t")).collect()
+    }
+    assert got[1] == "<p>hello �� world</p>"
+    assert got[2] == "<p>héllo 中文</p>"
+    assert got[3] == "��"
+    assert got[4] is None
+
+    # Byte-identical to strict decode on valid input (the oracle-parity
+    # property wp_crawl_e2e relies on: fixtures synthesize valid UTF-8).
+    valid = df.filter(F.col("id") == 2)
+    strict = valid.select(F.decode("html", "UTF-8").alias("t")).collect()
+    lenient = valid.select(utf8_text(F.col("html")).alias("t")).collect()
+    assert strict == lenient
+
+    # And the malformed page flows through the downstream extraction
+    # chain without throwing.
+    out = df.select(
+        html_to_text(utf8_text(F.col("html"))).alias("t")
+    ).collect()
+    assert len(out) == 4
