@@ -178,7 +178,7 @@ def main() -> None:
         inflate = 0
         if "--inflate" in sys.argv:
             inflate = int(sys.argv[sys.argv.index("--inflate") + 1])
-        run_crawl(levels, inflate)
+        run_crawl(levels, inflate, via_submit="--via-submit" in sys.argv)
         return
     argv = list(sys.argv[1:])
     levels = (8, 32)
@@ -495,20 +495,46 @@ def inflate_crawl_input(sf_dir: str, k: int) -> str:
     return str(out)
 
 
-def run_crawl(levels: tuple[int, int] = (4, 16), inflate: int = 0) -> dict:
+def run_crawl(
+    levels: tuple[int, int] = (4, 16),
+    inflate: int = 0,
+    via_submit: bool = False,
+) -> dict:
     """Crawl-composition scaling at N->4N (default 4->16 — the pair
     with multiprocessing-ceiling headroom on this box, see
-    run_longlev). Merges into BENCH/scaling_latest.json."""
+    run_longlev). Merges into BENCH/scaling_latest.json.
+    ``via_submit`` launches each level through real ``spark-submit
+    --py-files nms.zip --jars nms-udfs.jar`` — the deploy-literal
+    contract, same as the linkage bench's --via-submit."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tag_suffix = ""
     if inflate:
         sf_dir = inflate_crawl_input(sf_dir, inflate)
         tag_suffix = f"_x{inflate}"
+    if via_submit:
+        tag_suffix += "_via_submit"
     res = {}
     for cpus in levels:
+        child_args = ["--crawl-child", str(cpus), sf_dir]
+        if via_submit:
+            from pathlib import Path as _P
+
+            import pyspark
+
+            from tools.make_pyfiles_zip import build as build_zip
+
+            submit = str(_P(pyspark.__file__).parent / "bin" / "spark-submit")
+            cmd = [
+                submit, "--master", f"local[{cpus}]",
+                "--driver-memory", os.environ.get("NMS_DRIVER_MEM", "8g"),
+                "--py-files", str(build_zip("nms.zip")),
+                "--jars", str(REPO / "name_matcher_spark" / "javaudf" / "nms-udfs.jar"),
+                __file__, *child_args,
+            ]
+        else:
+            cmd = [sys.executable, __file__, *child_args]
         proc = subprocess.run(
-            [sys.executable, __file__, "--crawl-child", str(cpus), sf_dir],
-            capture_output=True, text=True, check=False, timeout=3600,
+            cmd, capture_output=True, text=True, check=False, timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
