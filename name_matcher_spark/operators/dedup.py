@@ -161,14 +161,33 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH.
 
     rows-per-band = num_hashes // bands; docs sharing ANY band bucket
     become a candidate pair (id_a < id_b). The join happens inside
-    band buckets only — never all-pairs.
+    band buckets only — never all-pairs, EXCEPT when a bucket itself
+    degenerates: near-identical boilerplate (cookie banners, parked
+    domains, SEO template farms) collapses whole signature bands, and
+    one bucket with M members emits M²/2 pairs. ``max_bucket_size``
+    is the skew guard for that — buckets larger than the cap are
+    dropped BEFORE the self-join (the hot-block-cap treatment the
+    fuzzy cascade applies, fuzzy_join.py): such buckets carry no
+    discriminative signal (their members still pair through any
+    non-degenerate band they share), and the candidate count stays
+    bounded by cap × |buckets|. Deterministic, documented recall
+    trade; None (default) keeps the exact oracle-checked semantics.
     """
     buckets = band_buckets(docs, id_col, text_col, k, num_hashes, bands, hash_fn)
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(small, ["band", "key"], "leftsemi")
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -297,6 +316,7 @@ def dedup_pipeline(
     minhash_hash_fn: str = "xxhash64",
     pins: list | None = None,
     verify_mode: str = "join",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The tiered dedup pipeline as ONE lazy plan — the module
     docstring's cheapest-first architecture actually chained, each tier
@@ -317,6 +337,10 @@ def dedup_pipeline(
     tier 1 is one shuffle on a 16-byte key and typically removes the
     bulk; tiers 2-3 never form all-pairs (bucket join + candidate-
     restricted gram join); tier 4's graph is bounded by verified pairs.
+    ``max_bucket_size`` (production: set it; None keeps exact oracle
+    semantics) additionally caps any DEGENERATE LSH bucket —
+    boilerplate-collapsed signatures — before the tier-2 self-join;
+    see minhash_lsh_candidates.
 
     ``pins`` collects every DataFrame cached on the caller's behalf
     (currently the verify tier's gram table); drain it after the
@@ -337,7 +361,8 @@ def dedup_pipeline(
     )
 
     cands = minhash_lsh_candidates(
-        surv, id_col, text_col, shingle_k, num_hashes, bands, minhash_hash_fn
+        surv, id_col, text_col, shingle_k, num_hashes, bands, minhash_hash_fn,
+        max_bucket_size=max_bucket_size,
     )
     verified = ngram_jaccard_pairs(
         surv,

@@ -43,9 +43,19 @@ def incremental_dedup(
     bands: int = 4,
     available_now: bool = True,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ):
     """Start the streaming query. Emits (id_a, id_b, batch_id) pairs
-    with id_a < id_b; returns the StreamingQuery handle."""
+    with id_a < id_b; returns the StreamingQuery handle.
+
+    ``max_bucket_size`` is the degenerate-bucket skew guard (see
+    minhash_lsh_candidates): applied per side — batch buckets larger
+    than the cap are dropped before both joins, and STORE buckets
+    whose accumulated membership exceeds the cap are dropped from the
+    cross join (the boilerplate bucket that grew for thousands of
+    batches is exactly the one that would turn every future batch
+    quadratic). None (default) keeps the exact batch-parity
+    semantics the invariant test asserts."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -55,12 +65,22 @@ def incremental_dedup(
             batch_df, id_col, text_col, k, num_hashes, bands, hash_fn
         ).persist()
         try:
-            new = buckets.select(
+            if max_bucket_size is not None:
+                small = (
+                    buckets.groupBy("band", "key")
+                    .agg(F.count("*").alias("_n"))
+                    .filter(F.col("_n") <= max_bucket_size)
+                    .select("band", "key")
+                )
+                joinable = buckets.join(small, ["band", "key"], "leftsemi")
+            else:
+                joinable = buckets
+            new = joinable.select(
                 F.col(id_col).alias("id_b"), "band", "key"
             )
             # new-vs-new inside the batch
             self_pairs = (
-                buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+                joinable.select(F.col(id_col).alias("id_a"), "band", "key")
                 .join(new, ["band", "key"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
@@ -75,6 +95,14 @@ def incremental_dedup(
                 store = spark.read.parquet(store_dir).filter(
                     F.col("batch_id") < batch_id
                 )
+                if max_bucket_size is not None:
+                    store_small = (
+                        store.groupBy("band", "key")
+                        .agg(F.count("*").alias("_n"))
+                        .filter(F.col("_n") <= max_bucket_size)
+                        .select("band", "key")
+                    )
+                    store = store.join(store_small, ["band", "key"], "leftsemi")
                 cross_pairs = (
                     store.select(F.col(id_col).alias("id_a"), "band", "key")
                     .join(new, ["band", "key"])

@@ -226,3 +226,49 @@ def test_verify_modes_identical(spark):
 
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(df, candidates=None, mode="sets").count()
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket_size: a boilerplate-collapsed bucket (here: byte-
+    identical texts, which share every band) must be dropped before
+    the self-join, while pairs in small buckets survive untouched."""
+    boiler = [(i, "cookie banner accept all cookies to continue") for i in range(30)]
+    pair = [
+        (100, "completely distinctive article about alpine marmots"),
+        (101, "completely distinctive article about alpine marmoty"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, k=5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, k=5, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # the 30-doc degenerate bucket contributes 435 pairs uncapped, 0 capped
+    assert sum(1 for a, b in uncapped if b < 100) == 30 * 29 // 2
+    assert not any(b < 100 for a, b in capped)
+    # bounded: every surviving pair comes from a bucket <= cap
+    assert capped == {(100, 101)}
+
+
+def test_dedup_pipeline_bucket_cap_passthrough(spark):
+    """dedup_pipeline(max_bucket_size=...) reaches tier 2: with the
+    exact tier removing byte-identical docs first, NEAR-identical
+    boilerplate (one char varies) forms the degenerate bucket."""
+    from name_matcher_spark.operators.dedup import dedup_pipeline
+
+    rows = [(i, f"cookie banner accept all cookies variant {i}") for i in range(25)]
+    rows += [(200, "unique survivor document about glaciers")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup_pipeline(
+        df, shingle_k=5, verify_threshold=0.5, max_doc_freq=None,
+        max_bucket_size=5,
+    ).collect()
+    # every boilerplate doc still gets a row; with their bucket dropped
+    # they are all kept (no candidates -> no near-dup edges)
+    assert len(capped) == 26
+    assert all(r.status == "kept" for r in capped)

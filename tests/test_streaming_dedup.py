@@ -52,3 +52,40 @@ def test_incremental_dedup_matches_batch(spark, tmp_path):
     before = got.count()
     drain()
     assert spark.read.parquet(out).count() == before
+
+
+def test_incremental_dedup_bucket_cap(spark, tmp_path):
+    """max_bucket_size drops the degenerate boilerplate bucket on both
+    the batch side and the accumulated-store side, while small-bucket
+    pairs keep flowing across batches."""
+    boiler = [(i, "cookie banner accept all cookies to continue") for i in range(20)]
+    pair_a = [(100, "completely distinctive article about alpine marmots")]
+    pair_b = [(101, "completely distinctive article about alpine marmoty")]
+    schema = "doc_id long, text string"
+    src, store, out, ck = (
+        str(tmp_path / d) for d in ("src", "store", "out", "ck")
+    )
+
+    def drain():
+        q = incremental_dedup(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            store, out, ck, max_bucket_size=5,
+        )
+        q.awaitTermination()
+
+    # wave 1: half the boilerplate + one article
+    spark.createDataFrame(boiler[:10] + pair_a, schema).write.parquet(src)
+    drain()
+    # wave 2: the rest of the boilerplate (store side now holds the
+    # degenerate bucket) + the near-dup article
+    spark.createDataFrame(boiler[10:] + pair_b, schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).select("id_a", "id_b").collect()
+    }
+    assert (100, 101) in got          # cross-batch pair survives the cap
+    assert not any(b < 100 for _, b in got)  # no boilerplate pairs at all
