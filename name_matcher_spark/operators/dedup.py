@@ -425,6 +425,7 @@ def embedding_neardup_pairs(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup tier
     (semantic near-dups that share no shingles).
@@ -436,6 +437,13 @@ def embedding_neardup_pairs(
     standard LSH trade (P[match found] = 1-(1-p^bits)^tables with
     p = 1 - angle/pi); more tables buy recall linearly in cost.
 
+    ``max_bucket_size``: degenerate-bucket skew guard, same contract
+    as minhash_lsh_candidates — anisotropic embedding sets (most
+    real encoder outputs cluster in a narrow cone) can collapse a
+    (table, sig) bucket to a large fraction of the corpus; oversized
+    buckets are dropped before the self-join. None = exact
+    oracle-checked semantics.
+
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     from .simsearch import _dot, _norm, hyperplane_signatures
@@ -443,6 +451,14 @@ def embedding_neardup_pairs(
     sigs = hyperplane_signatures(
         vectors, id_col, vec_col, dim, bits, tables, seed
     )
+    if max_bucket_size is not None:
+        small = (
+            sigs.groupBy("table", "sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("table", "sig")
+        )
+        sigs = sigs.join(small, ["table", "sig"], "leftsemi")
     left = sigs.select(F.col(id_col).alias("id_a"), "table", "sig")
     right = sigs.select(F.col(id_col).alias("id_b"), "table", "sig")
     cands = (
@@ -523,12 +539,20 @@ def simhash_near_dupes(
     k: int = 4,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Scale path: block on 4 x 16-bit chunks (pigeonhole — any pair
     within hamming 3 agrees on at least one chunk), join per chunk,
-    verify hamming via bit_count. Never all-pairs.
+    verify hamming via bit_count. Never all-pairs — except a
+    degenerate chunk bucket (boilerplate-dominated fingerprints all
+    sharing a 16-bit chunk), guarded by opt-in ``max_bucket_size``
+    exactly like minhash_lsh_candidates: oversized (chunk, key)
+    buckets are dropped before the self-join (a pair within the
+    hamming radius usually agrees on MORE than one chunk, so it
+    survives through its non-degenerate chunks). None = exact
+    oracle-checked semantics.
     """
     fps = simhash64(docs, id_col, text_col, k, hash_fn=hash_fn)
     chunks = fps.select(
@@ -548,6 +572,15 @@ def simhash_near_dupes(
             )
         ).alias("c"),
     ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+
+    if max_bucket_size is not None:
+        small = (
+            chunks.groupBy("chunk", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("chunk", "key")
+        )
+        chunks = chunks.join(small, ["chunk", "key"], "leftsemi")
 
     left = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key"

@@ -272,3 +272,53 @@ def test_dedup_pipeline_bucket_cap_passthrough(spark):
     # they are all kept (no candidates -> no near-dup edges)
     assert len(capped) == 26
     assert all(r.status == "kept" for r in capped)
+
+
+def test_simhash_and_embedding_bucket_caps(spark):
+    """The same degenerate-bucket guard on the simhash chunk join and
+    the hyperplane-LSH embedding join: capped runs return a subset of
+    the uncapped pair set, and a genuinely-near pair in small buckets
+    survives."""
+    import math
+
+    from name_matcher_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        simhash_near_dupes,
+    )
+
+    rows = [(i, "breaking news boilerplate footer text here") for i in range(20)]
+    rows += [
+        (100, "unique glacier survey with detailed measurements alpha"),
+        (101, "unique glacier survey with detailed measurements alphb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b) for r in simhash_near_dupes(df).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dupes(df, max_bucket_size=5).collect()
+    }
+    assert capped <= full
+    assert (100, 101) in capped
+    assert not any(b < 100 for _, b in capped)
+
+    # embeddings: 20 vectors in one tight cone + a near-identical pair
+    # pointing elsewhere
+    def vec(theta, jitter=0.0):
+        return [math.cos(theta) + jitter, math.sin(theta)] + [0.0] * 6
+
+    vrows = [(i, vec(0.001 * i)) for i in range(20)]
+    vrows += [(100, vec(1.5)), (101, vec(1.5, 0.0005))]
+    vdf = spark.createDataFrame(vrows, "vec_id long, embedding array<double>")
+    vfull = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(vdf, dim=8, threshold=0.99).collect()
+    }
+    vcapped = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            vdf, dim=8, threshold=0.99, max_bucket_size=10
+        ).collect()
+    }
+    assert vcapped <= vfull
+    assert (100, 101) in vcapped
+    assert not any(b < 100 for _, b in vcapped)
