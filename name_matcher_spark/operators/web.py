@@ -196,7 +196,38 @@ def normalize_percent_encoding(col: Column) -> Column:
     return _interleave_decode(col, _PCT_TOKEN_RE, _normalize_pct_token)
 
 
-def canonical_url(col: Column) -> Column:
+def _idna_fold_udf():
+    """Arrow-vectorized IDN host fold (built lazily so importing this
+    module never requires an active session). Unicode hosts encode to
+    their punycode/ASCII form (IDNA 2003 via Python's ``idna`` codec:
+    ``münchen.de`` -> ``xn--mnchen-3ya.de``); ASCII hosts pass through
+    untouched on a fast path; hosts the codec rejects (empty labels,
+    >63-char labels) pass through unchanged — an unfoldable host must
+    not fail the crawl, it just keeps its own dedup key.
+
+    The eval type is passed explicitly (``PandasUDFType.SCALAR`` via the
+    ``functionType`` arg): this module uses ``from __future__ import
+    annotations``, which turns the type hints into strings Spark cannot
+    resolve without pandas in the module globals — and pandas must stay
+    a lazy import here so the pure-JVM default path never needs it."""
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.types import StringType
+
+    def fold(hosts):
+        def one(h):
+            if h is None or h.isascii():
+                return h
+            try:
+                return h.encode("idna").decode("ascii")
+            except Exception:  # noqa: BLE001 - keep the raw host
+                return h
+
+        return hosts.map(one)
+
+    return F.pandas_udf(fold, StringType(), PandasUDFType.SCALAR)
+
+
+def canonical_url(col: Column, fold_idn: bool = False) -> Column:
     u = F.trim(col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -206,6 +237,12 @@ def canonical_url(col: Column) -> Column:
     host = F.regexp_replace(
         F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
     )
+    if fold_idn:
+        # Opt-in: internationalized hosts fold to punycode so
+        # `münchen.de` and `xn--mnchen-3ya.de` share one canonical
+        # key. A pandas UDF (the idna codec has no JVM-expression
+        # equivalent), so the default stays pure JVM / oracle-exact.
+        host = _idna_fold_udf()(host)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")

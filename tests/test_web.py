@@ -214,3 +214,35 @@ def test_utf8_text_lenient_on_malformed_bytes(spark):
         html_to_text(utf8_text(F.col("html"))).alias("t")
     ).collect()
     assert len(out) == 4
+
+
+def test_canonical_url_idn_fold(spark):
+    """fold_idn=True: unicode hosts fold to their punycode form so the
+    IDN and ASCII spellings of one site share a canonical key; ASCII
+    hosts and unfoldable hosts pass through; the default path stays
+    UDF-free (oracle-exact)."""
+    rows = [
+        (1, "http://münchen.de/a"),
+        (2, "http://xn--mnchen-3ya.de/a"),
+        (3, "https://WWW.Example.com:443/x/"),
+        (4, "http://bücher.example/path?q=1"),
+        (5, "http://bad..label–h/x"),  # idna codec rejects empty label
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", canonical_url(F.col("url"), fold_idn=True).alias("c")
+        ).collect()
+    }
+    assert got[1] == got[2] == "http://xn--mnchen-3ya.de/a"
+    assert got[3] == "https://example.com/x"
+    assert got[4] == "http://xn--bcher-kva.example/path?q=1"
+    assert got[5].startswith("http://bad..label")  # unchanged, not None
+
+    # default path: no Python nodes in the plan
+    plan = (
+        df.select(canonical_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
