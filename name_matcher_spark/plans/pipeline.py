@@ -53,11 +53,17 @@ def run_linkage(
     pages_b: DataFrame | None = None,
     config: LinkageConfig | None = None,
     force: bool = False,
+    checkpoint: StageCheckpoint | None = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the pipeline. Inputs are either pages tables
-    (extraction runs first) or person tables directly."""
+    (extraction runs first) or person tables directly.
+
+    ``checkpoint`` overrides the stage store: pass a
+    ``TableStageCheckpoint`` to land every stage in catalog
+    (Iceberg-style) tables with manifest rows instead of the default
+    directory-per-stage layout (``work_dir`` is then ignored)."""
     cfg = config or LinkageConfig()
-    ckpt = StageCheckpoint(spark, work_dir)
+    ckpt = checkpoint or StageCheckpoint(spark, work_dir)
     out: dict[str, DataFrame] = {}
 
     # Config fingerprint: the reference pins table names + algorithm in

@@ -11,6 +11,7 @@ the local harness but overridable for a real cluster.
 from __future__ import annotations
 
 import os
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -53,9 +54,21 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     # master="inherit": do NOT set a master — the job was launched via
     # `spark-submit --master ...` and must respect the cluster manager
-    # chosen there (tools/submit_job.py uses this).
+    # chosen there (tools/submit_job.py uses this). The same logic
+    # governs the warehouse dir: a submitted job's catalog/warehouse
+    # belongs to the deployment (`--conf spark.sql.warehouse.dir`, or
+    # an Iceberg catalog with its own location), while ad-hoc local
+    # sessions get a tmp-dir default so catalog-table writes
+    # (TableStageCheckpoint / saveAsTable) never litter the caller's
+    # cwd with spark-warehouse/.
     if master != "inherit":
-        builder = builder.master(master)
+        builder = builder.master(master).config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "NMS_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "nms-warehouse"),
+            ),
+        )
     builder = (
         builder
         # Adaptive execution: runtime broadcast decisions, partition

@@ -62,6 +62,12 @@ def fingerprint_df(df: DataFrame, content: bool = True) -> dict:
 
 
 class StageCheckpoint:
+    """Directory-backed stage store: stage -> Parquet dir + JSON
+    manifest file. Subclasses swap the storage layer by overriding the
+    five ``_load_manifest/_store_manifest/_write_data/_read_data/
+    _data_committed`` hooks — `TableStageCheckpoint` does exactly that
+    to target catalog (Iceberg-style) tables with manifest ROWS."""
+
     def __init__(self, spark: SparkSession, work_dir: str) -> None:
         self.spark = spark
         self.work_dir = Path(work_dir)
@@ -73,6 +79,33 @@ class StageCheckpoint:
     def _manifest_path(self, stage: str) -> Path:
         return self.work_dir / f"{stage}.manifest.json"
 
+    # -- storage hooks -------------------------------------------------
+    def _load_manifest(self, stage: str) -> dict | None:
+        mp = self._manifest_path(stage)
+        if not mp.exists():
+            return None
+        try:
+            return json.loads(mp.read_text())
+        except json.JSONDecodeError:
+            return None
+
+    def _store_manifest(self, stage: str, manifest: dict) -> None:
+        tmp = self._manifest_path(stage).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._manifest_path(stage))
+
+    def _write_data(self, stage: str, df: DataFrame) -> DataFrame:
+        out = self._stage_dir(stage)
+        df.write.mode("overwrite").parquet(str(out))
+        return self.spark.read.parquet(str(out))
+
+    def _read_data(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._stage_dir(stage)))
+
+    def _data_committed(self, stage: str) -> bool:
+        return (self._stage_dir(stage) / "_SUCCESS").exists()
+
+    # -- contract (storage-independent) --------------------------------
     def _expected_fingerprints(
         self, inputs: list[str] | None, explicit: dict | None
     ) -> dict:
@@ -84,17 +117,13 @@ class StageCheckpoint:
             if explicit and name in explicit:
                 fps[name] = explicit[name]
                 continue
-            mp = self._manifest_path(name)
-            if mp.exists():
-                try:
-                    m = json.loads(mp.read_text())
-                    fps[name] = {
-                        "row_count": m.get("row_count"),
-                        "schema": m.get("schema"),
-                        "content_digest": m.get("content_digest"),
-                    }
-                except json.JSONDecodeError:
-                    fps[name] = None
+            m = self._load_manifest(name)
+            if m is not None:
+                fps[name] = {
+                    "row_count": m.get("row_count"),
+                    "schema": m.get("schema"),
+                    "content_digest": m.get("content_digest"),
+                }
             else:
                 fps[name] = None
         return fps
@@ -105,18 +134,14 @@ class StageCheckpoint:
         inputs: list[str] | None = None,
         input_fingerprints: dict | None = None,
     ) -> bool:
-        """A stage is servable iff its Parquet commit + manifest exist
+        """A stage is servable iff its data commit + manifest exist
         AND every checkable input fingerprint matches what the manifest
         recorded — changed upstream data invalidates the stage instead
         of being silently served stale."""
-        mp = self._manifest_path(stage)
-        if not mp.exists():
+        manifest = self._load_manifest(stage)
+        if manifest is None:
             return False
-        try:
-            manifest = json.loads(mp.read_text())
-        except json.JSONDecodeError:
-            return False
-        if not (self._stage_dir(stage) / "_SUCCESS").exists():
+        if not self._data_committed(stage):
             return False
         if "row_count" not in manifest:
             return False
@@ -128,10 +153,13 @@ class StageCheckpoint:
         return True
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(str(self._stage_dir(stage)))
+        return self._read_data(stage)
 
     def manifest(self, stage: str) -> dict:
-        return json.loads(self._manifest_path(stage).read_text())
+        m = self._load_manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"no manifest for stage {stage!r}")
+        return m
 
     def write(
         self,
@@ -144,9 +172,7 @@ class StageCheckpoint:
         """Materialize a stage and its lineage manifest; returns the
         re-read DataFrame (so downstream consumes the checkpoint, not
         the original lineage)."""
-        out = self._stage_dir(stage)
-        df.write.mode("overwrite").parquet(str(out))
-        persisted = self.spark.read.parquet(str(out))
+        persisted = self._write_data(stage, df)
 
         # One job yields the whole lineage record: per-partition row
         # counts AND per-partition content digests (multiset SUM of
@@ -204,9 +230,7 @@ class StageCheckpoint:
                 str(r["bucket"] / 10.0): r["count"] for r in hist
             }
 
-        tmp = self._manifest_path(stage).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self._manifest_path(stage))
+        self._store_manifest(stage, manifest)
         return persisted
 
     def run_stage(
@@ -230,3 +254,87 @@ class StageCheckpoint:
             inputs=inputs,
             input_fingerprints=input_fingerprints,
         )
+
+
+class TableStageCheckpoint(StageCheckpoint):
+    """Catalog-table stage store — the north rule's "checkpoint each
+    stage to Iceberg" deployment shape.
+
+    Stage data lands in ``{prefix}_{stage}`` catalog tables and every
+    lineage manifest is APPENDED as a row to ``{prefix}_manifest``
+    (columns ``stage, seq, manifest``; highest ``seq`` per stage wins),
+    so re-runs leave an audit trail instead of overwriting history —
+    the `_manifest`-rows contract SURVEY §2.1 prescribes. ``prefix``
+    is a table-identifier prefix, e.g. ``nmsck.run1`` -> tables
+    ``nmsck.run1_pairs_fuzzy``, ``nmsck.run1_manifest``; point it at
+    an Iceberg catalog (``ice.crawl.run1``) and stage replacement
+    becomes an atomic snapshot swap with the data files in object
+    storage. On the plain session catalog the same code runs against
+    parquet-provider tables under ``spark.sql.warehouse.dir`` (what
+    the tests exercise); a torn overwrite there has the same risk
+    window as any non-transactional table format — the manifest row is
+    only appended after the data write returns, mirroring the file
+    backend's write-order guarantee.
+    """
+
+    def __init__(
+        self, spark: SparkSession, prefix: str, fmt: str = "parquet"
+    ) -> None:
+        from .tables import ensure_namespace, is_table_ref
+
+        if not is_table_ref(f"{prefix}_manifest"):
+            raise ValueError(
+                f"prefix {prefix!r} must be a catalog table-identifier "
+                "prefix (e.g. 'nmsck.run1' or 'ice.crawl.run1')"
+            )
+        self.spark = spark
+        self.prefix = prefix
+        self.fmt = fmt
+        ensure_namespace(spark, f"{prefix}_manifest")
+
+    def _table(self, stage: str) -> str:
+        return f"{self.prefix}_{stage}"
+
+    @property
+    def _manifest_table(self) -> str:
+        return f"{self.prefix}_manifest"
+
+    def _load_manifest(self, stage: str) -> dict | None:
+        if not self.spark.catalog.tableExists(self._manifest_table):
+            return None
+        rows = (
+            self.spark.table(self._manifest_table)
+            .where(F.col("stage") == stage)
+            .orderBy(F.col("seq").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        try:
+            return json.loads(rows[0]["manifest"])
+        except json.JSONDecodeError:
+            return None
+
+    def _store_manifest(self, stage: str, manifest: dict) -> None:
+        import time
+
+        from .tables import write_table
+
+        row = self.spark.createDataFrame(
+            [(stage, time.time_ns(), json.dumps(manifest))],
+            schema="stage string, seq long, manifest string",
+        )
+        write_table(row, self._manifest_table, fmt=self.fmt, mode="append")
+
+    def _write_data(self, stage: str, df: DataFrame) -> DataFrame:
+        from .tables import write_table
+
+        write_table(df, self._table(stage), fmt=self.fmt, mode="overwrite")
+        return self.spark.table(self._table(stage))
+
+    def _read_data(self, stage: str) -> DataFrame:
+        return self.spark.table(self._table(stage))
+
+    def _data_committed(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(stage))

@@ -44,7 +44,9 @@ def _write_pages(tmp: Path) -> tuple[Path, Path]:
     return pa, pb
 
 
-def _submit(tmp: Path, zip_path: Path, extra: list[str]) -> dict:
+def _submit(
+    tmp: Path, zip_path: Path, extra: list[str], conf: list[str] | None = None
+) -> dict:
     jar = REPO / "name_matcher_spark" / "javaudf" / "nms-udfs.jar"
     cmd = [
         _spark_submit(),
@@ -53,6 +55,7 @@ def _submit(tmp: Path, zip_path: Path, extra: list[str]) -> dict:
         *( ["--jars", str(jar)] if jar.exists() else [] ),
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.shuffle.partitions=8",
+        *(conf or []),
         str(REPO / "tools" / "submit_job.py"),
         "--work-dir", str(tmp / "ckpt"),
         "--out", str(tmp / "out"),
@@ -96,6 +99,52 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     summary2 = _submit(tmp_path, zip_path, extra)
     assert summary2["stages"] == summary["stages"]
     assert manifest.stat().st_mtime_ns == mtime
+
+
+@pytest.mark.slow
+def test_spark_submit_table_checkpoints(tmp_path):
+    """Iceberg-style deploy shape: stages checkpoint to CATALOG TABLES
+    (--ckpt-tables) and outputs land as catalog tables (--out as a
+    table-identifier prefix), under a real spark-submit against a
+    Hive/derby metastore so the catalog outlives the JVM. The second
+    submit is a fresh JVM that must resume purely from catalog state:
+    same stage counts, zero new manifest rows."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build
+
+    zip_path = build(str(tmp_path / "nms.zip"))
+    pa, pb = _write_pages(tmp_path)
+    # A per-test derby metastore + warehouse: catalog metadata persists
+    # across the two submits (exactly what a shared Hive/Iceberg
+    # catalog provides on a real cluster).
+    catalog_conf = [
+        "--conf", "spark.sql.catalogImplementation=hive",
+        "--conf", f"spark.sql.warehouse.dir={tmp_path / 'wh'}",
+        "--conf",
+        "spark.hadoop.javax.jdo.option.ConnectionURL="
+        f"jdbc:derby:;databaseName={tmp_path / 'metastore_db'};create=true",
+    ]
+    extra = [
+        "--pages-a", str(pa), "--pages-b", str(pb),
+        "--ckpt-tables", "nmsck.deploy",
+        "--out", "nmsout.run1",
+    ]
+
+    summary = _submit(tmp_path, zip_path, extra, conf=catalog_conf)
+    assert summary["stages"]["pairs_fuzzy"] > 0
+    assert summary["stages"]["clusters"] > 0
+    assert summary["score_histogram"]
+    # one manifest row per built stage
+    n_stages = 7  # extract_a/b, prepare_a/b, pairs_fuzzy, households, clusters
+    assert summary["manifest_rows"] == n_stages
+    # stage + output tables are real warehouse tables
+    assert (tmp_path / "wh" / "nmsck.db" / "deploy_pairs_fuzzy").exists()
+    assert (tmp_path / "wh" / "nmsout.db" / "run1_clusters").exists()
+
+    # Fresh JVM, same catalog: everything served, nothing rebuilt.
+    summary2 = _submit(tmp_path, zip_path, extra, conf=catalog_conf)
+    assert summary2["stages"] == summary["stages"]
+    assert summary2["manifest_rows"] == n_stages
 
 
 @pytest.mark.slow
