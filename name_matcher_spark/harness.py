@@ -1679,6 +1679,94 @@ FROM documents
 """
 
 
+# The parquet fixture docs are single-line word salad (newline-free),
+# so line-dup needs planted cases: duplicate lines, a total 2-gram
+# loop, a no-repetition doc, single-token / empty edge docs, and a
+# case-sensitivity probe (line dedup is case-SENSITIVE, token grams
+# are lowercased). ASCII-only so lower() agrees across engines.
+REPETITION_EXTRA_DOCS: list[tuple[int, str]] = [
+    (910001, "alpha beta\nalpha beta\ngamma delta"),
+    (910002, "one two one two one two one two one two"),
+    (910003, "unique words only here nothing repeats at all today friend"),
+    (910004, "x"),
+    (910005, ""),
+    (910006, "a b c d e a b c d e a b c d e"),
+    (910007, "Line One\nline one\nLINE ONE"),
+]
+
+
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_metrics
+
+    extra = spark.createDataFrame(REPETITION_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    return repetition_metrics(corpus)
+
+
+def _repetition_sql() -> str:
+    extra_rows = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in REPETITION_EXTRA_DOCS
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+),
+tok AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS larr,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS toks
+  FROM corpus
+),
+g2 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tok
+),
+g5 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 5
+           THEN list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))
+           ELSE [] END) AS gram
+  FROM tok
+),
+a2 AS (
+  SELECT doc_id, max(c) AS max2
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1
+),
+a5 AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(len(larr) AS BIGINT) AS n_lines,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(larr) > 0
+       THEN round(1.0 - CAST(len(list_distinct(larr)) AS DOUBLE) / len(larr), 4)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN max2 IS NOT NULL AND len(toks) > 0
+       THEN round(least(1.0, (CAST(max2 AS DOUBLE) * 2.0) / CAST(len(toks) AS DOUBLE)), 4)
+       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN dup5 IS NOT NULL AND len(toks) > 0
+       THEN round(least(1.0, (CAST(dup5 AS DOUBLE) * 5.0) / CAST(len(toks) AS DOUBLE)), 4)
+       ELSE 0.0 END AS dup_5gram_frac
+FROM tok t LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+"""
+
+
+TXT_REPETITION_SQL = _repetition_sql()
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
@@ -2077,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
     "txt_token_counts": txt_token_counts,
+    "txt_repetition": txt_repetition,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2119,6 +2208,7 @@ ORACLES: dict[str, str] = {
     "txt_langid": TXT_LANGID_SQL,
     "txt_fingerprint": TXT_FINGERPRINT_SQL,
     "txt_token_counts": TXT_TOKENS_SQL,
+    "txt_repetition": TXT_REPETITION_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

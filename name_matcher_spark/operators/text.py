@@ -140,6 +140,121 @@ def quality_metrics(
     )
 
 
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models", §A1.1 — public paper), the
+    standard crawl-quality filters the reference has no analogue for:
+
+    * ``dup_line_frac`` — fraction of non-empty lines that repeat an
+      earlier line (1 − distinct/total); boilerplate detector.
+    * ``top_2gram_frac`` — fraction of tokens covered by the single
+      most frequent 2-gram (count×2 / n_tokens, capped at 1).
+    * ``dup_5gram_frac`` — fraction of tokens covered by 5-grams that
+      occur more than once (Σ count×5 / n_tokens, capped at 1 —
+      overlap-blind like the original).
+
+    Scale shape: array construction is all higher-order JVM
+    expressions (split/filter/zip_with/transform — WSCG); the n-gram
+    mode/dup-mass needs a frequency table, which is explode →
+    groupBy(doc, n, gram) → groupBy(doc, n) → groupBy(doc) — three
+    linear shuffles keyed by doc_id(+gram), no all-pairs anywhere, so
+    it holds at crawl scale. Docs whose gram set is empty (< 2 tokens)
+    come back via left join with zeroed fractions. NULL text is
+    treated as empty (all-zero row), not propagated as NULL counts —
+    real crawls have NULL-text rows and a filter must not drop them
+    silently.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = F.filter(F.split(F.lower(F.trim(t)), "\\s+"), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_lines_distinct"),
+        toks.alias("toks"),
+    ).withColumn("n_tokens", F.size(F.col("toks")).cast("long"))
+
+    n = F.col("n_tokens")
+    grams2 = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # sequence(1, n-4) DESCENDS when n < 5 — gate it.
+    grams5 = F.when(
+        n >= 5,
+        F.expr(
+            "transform(sequence(1, int(n_tokens) - 4),"
+            " i -> concat_ws(' ', slice(toks, i, 5)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    grams2, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+                ),
+                F.transform(
+                    grams5, lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram"))
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    freq = (
+        exploded.groupBy(id_col, "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.max("c").alias("maxc"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("maxc"))).alias("max2"),
+            F.max(F.when(F.col("n") == 5, F.col("dupc"))).alias("dup5"),
+        )
+    )
+
+    out = base.join(freq, on=id_col, how="left")
+    n_lines = F.col("n_lines")
+    frac = lambda mass: F.round(  # noqa: E731
+        F.least(F.lit(1.0), mass / F.col("n_tokens").cast("double")), 4
+    )
+    return out.select(
+        F.col(id_col),
+        n_lines,
+        F.col("n_tokens"),
+        F.when(
+            n_lines > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_lines_distinct").cast("double") / n_lines,
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(
+            F.col("max2").isNotNull() & (F.col("n_tokens") > 0),
+            frac(F.col("max2").cast("double") * 2.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        F.when(
+            F.col("dup5").isNotNull() & (F.col("n_tokens") > 0),
+            frac(F.col("dup5").cast("double") * 5.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_frac"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -71,6 +71,45 @@ def test_quality_metrics(spark):
     assert r.stopword_ratio == pytest.approx(0.25)  # "the" / 4 tokens
 
 
+def test_repetition_metrics(spark):
+    from name_matcher_spark.operators.text import repetition_metrics
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma delta"),
+            (2, "one two one two one two one two one two"),
+            (3, "unique words only here nothing repeats at all"),
+            (4, "x"),
+            (5, ""),
+            (6, "Line One\nline one\nLINE ONE"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(d).collect()}
+    # 3 non-empty lines, "alpha beta" repeats once -> 1 - 2/3
+    assert rows[1].n_lines == 3
+    assert rows[1].dup_line_frac == pytest.approx(round(1 - 2 / 3, 4))
+    # total 2-gram loop: "one two" x5 over 10 tokens -> capped 1.0;
+    # every 5-gram repeats -> capped 1.0
+    assert rows[2].top_2gram_frac == 1.0
+    assert rows[2].dup_5gram_frac == 1.0
+    # no repetition: dup fractions 0; top_2gram still counts the most
+    # frequent 2-gram (count 1 -> 2/8 tokens), per the paper's
+    # definition — thresholds are applied above ~0.2, not at 0
+    assert rows[3].dup_line_frac == 0.0
+    assert rows[3].top_2gram_frac == pytest.approx(0.25)
+    assert rows[3].dup_5gram_frac == 0.0
+    # single token: no grams, zeroed via the left-join path
+    assert rows[4].n_tokens == 1
+    assert rows[4].top_2gram_frac == 0.0
+    # empty text: all-zero row, not a crash / NULL
+    assert rows[5].n_lines == 0 and rows[5].n_tokens == 0
+    assert rows[5].dup_line_frac == 0.0
+    # line dedup is case-SENSITIVE; token grams are lowercased
+    assert rows[6].dup_line_frac == 0.0
+    assert rows[6].top_2gram_frac == 1.0
+
+
 def test_token_count_edges(spark):
     d = spark.createDataFrame([("",), ("  ",), ("a b  c",)], "t string")
     got = [r[0] for r in d.select(token_count(F.col("t"))).collect()]
