@@ -1767,6 +1767,82 @@ FROM tok t LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
 TXT_REPETITION_SQL = _repetition_sql()
 
 
+# Line-dedup needs cross-document repeated LINES; the parquet fixture
+# docs are newline-free (each doc = one line, and the fixture's exact
+# duplicates exercise the whole-doc-as-line path), so multi-line
+# boilerplate cases are planted: a footer shared by three docs, a doc
+# that is ALL boilerplate (must come back with clean_text ''), a
+# case-variant footer (normalization lowercases, output preserves the
+# original line), and blank lines (always dropped, excluded from the
+# line counts).
+LINEDEDUP_EXTRA_DOCS: list[tuple[int, str]] = [
+    (920001, "unique content alpha\nSubscribe to our newsletter\nmore alpha text"),
+    (920002, "unique content beta\nSubscribe to our newsletter"),
+    (920003, "Subscribe to our newsletter\nCookie policy applies"),
+    (920004, "Subscribe to our newsletter\nCookie policy applies"),
+    (920005, "SUBSCRIBE   TO OUR    NEWSLETTER\ngamma only line"),
+    (920006, "delta solo line\n\n   \ndelta second line"),
+]
+
+
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import line_dedup
+
+    extra = spark.createDataFrame(LINEDEDUP_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    return line_dedup(corpus, min_docs=2, hash_fn="md5")
+
+
+def _line_dedup_sql() -> str:
+    extra_rows = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in LINEDEDUP_EXTRA_DOCS
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+),
+lx AS (
+  SELECT doc_id,
+    unnest(range(1, len(larr) + 1)) AS pos,
+    unnest(larr) AS line
+  FROM (SELECT doc_id,
+          regexp_split_to_array(coalesce(text, ''), chr(10)) AS larr
+        FROM corpus)
+),
+nz AS (
+  SELECT doc_id, pos, line,
+    md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')) AS k
+  FROM lx
+  WHERE regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') <> ''
+),
+boiler AS (
+  SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS nd FROM nz GROUP BY k)
+  WHERE nd >= 2
+),
+kept AS (SELECT * FROM nz WHERE k NOT IN (SELECT k FROM boiler)),
+reb AS (
+  SELECT doc_id,
+    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id)
+SELECT c.doc_id,
+  coalesce(clean_text, '') AS clean_text,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_lines_kept,
+  CAST(coalesce(n_lines, 0) - coalesce(n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+"""
+
+
+DD_LINE_DEDUP_SQL = _line_dedup_sql()
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
@@ -2166,6 +2242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_fingerprint": txt_fingerprint,
     "txt_token_counts": txt_token_counts,
     "txt_repetition": txt_repetition,
+    "dd_line_dedup": dd_line_dedup,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2209,6 +2286,7 @@ ORACLES: dict[str, str] = {
     "txt_fingerprint": TXT_FINGERPRINT_SQL,
     "txt_token_counts": TXT_TOKENS_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
+    "dd_line_dedup": DD_LINE_DEDUP_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

@@ -650,3 +650,82 @@ def dedup_clusters(
         F.count("*").over(by_cluster).alias("cluster_size"),
         (F.row_number().over(pick) == 1).alias("is_canonical"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style cross-document line (paragraph) deduplication
+    (Wenzek et al. 2019, public): drop every line whose normalized form
+    (lower + collapsed whitespace) appears in >= ``min_docs`` DISTINCT
+    documents — navigation bars, cookie banners, footers — and
+    reassemble each document from its surviving lines in original
+    order. Empty/whitespace-only lines are always dropped.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped); documents
+    whose every line is boilerplate come back with clean_text '' (not
+    dropped from the output — a downstream length filter decides).
+
+    hash_fn: ``xxhash64`` hashes the normalized line to a long for the
+    frequency table and anti-join key (production — short shuffle
+    keys); ``md5`` uses the hex string (oracle-portable to DuckDB).
+
+    Scale shape: posexplode -> frequency groupBy on the line hash ->
+    left_anti join on the same hash -> regroup by doc — three linear
+    keyed shuffles, no all-pairs. The boilerplate side is the DISTINCT
+    over-threshold hash set, typically tiny relative to the corpus
+    (AQE broadcasts it when it fits).
+    """
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(F.col("norm"))
+    elif hash_fn == "md5":
+        key = F.md5(F.encode(F.col("norm"), "UTF-8"))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = (
+        docs.select(F.col(id_col), F.posexplode(F.split(t, "\n")))
+        .withColumnRenamed("col", "line")
+        .withColumn("norm", _norm_text(F.col("line")))
+        .where(F.col("norm") != "")
+        .withColumn("k", key)
+    )
+    boiler = (
+        lines.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    kept = lines.join(boiler, on="k", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_lines_kept"), F.lit(0))
+            ).cast("long").alias("n_lines_dropped"),
+        )
+    )

@@ -322,3 +322,41 @@ def test_simhash_and_embedding_bucket_caps(spark):
     assert vcapped <= vfull
     assert (100, 101) in vcapped
     assert not any(b < 100 for _, b in vcapped)
+
+
+def test_line_dedup_semantics(spark):
+    from name_matcher_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nShared Footer\nmore alpha"),
+            (2, "unique beta\nShared Footer"),
+            (3, "Shared Footer"),                 # all boilerplate
+            (4, "SHARED   footer\ngamma line"),   # case/space variant drops too
+            (5, "solo\n\n   \nsecond solo"),      # blanks never counted
+            (6, None),                            # NULL text -> empty row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert rows[1].clean_text == "unique alpha\nmore alpha"
+    assert rows[1].n_lines_kept == 2 and rows[1].n_lines_dropped == 1
+    assert rows[2].clean_text == "unique beta"
+    # every line boilerplate -> empty text, still present in output
+    assert rows[3].clean_text == "" and rows[3].n_lines_dropped == 1
+    # normalization matched the variant; surviving line keeps its case
+    assert rows[4].clean_text == "gamma line"
+    # blank lines are excluded from both counts
+    assert rows[5].n_lines_kept == 2 and rows[5].n_lines_dropped == 0
+    assert rows[6].clean_text == "" and rows[6].n_lines_kept == 0
+
+    # hash mode is an equality-key implementation detail: identical output
+    md5_rows = sorted(tuple(r) for r in line_dedup(docs, min_docs=2, hash_fn="md5").collect())
+    xx_rows = sorted(tuple(r) for r in line_dedup(docs, min_docs=2).collect())
+    assert md5_rows == xx_rows
+
+    # min_docs=3: the footer (3 distinct docs... actually 4) survives nothing;
+    # raise to 5 and nothing is boilerplate anymore
+    keep_all = {r.doc_id: r for r in line_dedup(docs, min_docs=5).collect()}
+    assert keep_all[3].clean_text == "Shared Footer"
+    assert keep_all[1].n_lines_dropped == 0
