@@ -1576,7 +1576,7 @@ _DDB_SCRIPTS = [
 ]
 
 
-def _langid_sql() -> str:
+def _langid_sql(corpus_body: str | None = None) -> str:
     from .operators.text import SCRIPT_MIN_FRACTION_DEN as DEN
 
     hit_cols = ",\n    ".join(
@@ -1594,6 +1594,12 @@ def _langid_sql() -> str:
     extra_rows = ",\n  ".join(
         f"({i}, '{t}')" for i, t in LANGID_EXTRA_DOCS
     )
+    if corpus_body is None:
+        corpus_body = (
+            "SELECT doc_id, text FROM documents\n"
+            "  UNION ALL\n"
+            "  SELECT * FROM (VALUES\n  " + extra_rows + "\n  ) t(doc_id, text)"
+        )
     # tie-break = first list position with count == max (strict-> chain
     # parity with the Spark side)
     script_pick = "\n       ".join(
@@ -1601,11 +1607,7 @@ def _langid_sql() -> str:
     )
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-  {extra_rows}
-  ) t(doc_id, text)
+  {corpus_body}
 ),
 h AS (
   SELECT doc_id,
@@ -1703,18 +1705,20 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(corpus)
 
 
-def _repetition_sql() -> str:
+def _repetition_sql(corpus_body: str | None = None) -> str:
     extra_rows = ",\n  ".join(
         "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
         for i, t in REPETITION_EXTRA_DOCS
     )
+    if corpus_body is None:
+        corpus_body = (
+            "SELECT doc_id, text FROM documents\n"
+            "  UNION ALL\n"
+            "  SELECT * FROM (VALUES\n  " + extra_rows + "\n  ) t(doc_id, text)"
+        )
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-  {extra_rows}
-  ) t(doc_id, text)
+  {corpus_body}
 ),
 tok AS (
   SELECT doc_id,
@@ -1841,6 +1845,87 @@ FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
 
 
 DD_LINE_DEDUP_SQL = _line_dedup_sql()
+
+
+# Verdict-diversity cases for the composed filter: a too-short doc, a
+# length-passing total 2-gram loop (fails repetition), an all-distinct
+# Cyrillic doc (fails only the language gate), and a multi-line
+# English doc inside every threshold (dup_line 0.25 <= 0.3 passes).
+FILTER_EXTRA_DOCS: list[tuple[int, str]] = [
+    (930001, "way too short to keep"),
+    (
+        930002,
+        "click here click here click here click here click here "
+        "click here click here click here click here click here",
+    ),
+    (
+        930003,
+        "один два три четыре пять шесть семь восемь девять десять "
+        "одиннадцать двенадцать тринадцать четырнадцать пятнадцать "
+        "шестнадцать семнадцать восемнадцать девятнадцать двадцать "
+        "сорок пятьдесят шестьдесят семьдесят",
+    ),
+    (
+        # passes EVERY gate: dup_line 0.25 <= 0.3 (the dup line is 3
+        # tokens, too short to double any 5-gram; a duplicated >=5
+        # token line caps dup_5gram at 1.0 and fails — that case is
+        # covered by the fixture corpus), top-2gram 4/28 <= 0.2
+        930004,
+        "the quick brown fox jumps over the lazy dog near the river\n"
+        "newsletter signup below\n"
+        "a second line with more of the usual english filler words\n"
+        "newsletter signup below",
+    ),
+]
+
+
+def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import text_filter_pipeline
+
+    extra = spark.createDataFrame(FILTER_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    return text_filter_pipeline(corpus)
+
+
+def _filter_sql() -> str:
+    from .operators.text import FILTER_LANG, FILTER_RULES as R
+
+    extra_rows = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in FILTER_EXTRA_DOCS
+    )
+    body = "SELECT doc_id, text FROM docs"
+    qual = TXT_QUALITY_SQL.replace("FROM documents", "FROM docs")
+    # AS MATERIALIZED: the corpus CTE feeds three sub-oracles; without
+    # it DuckDB re-opens the parquet per reference (fd exhaustion on
+    # chained oracles).
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+),
+q AS ({qual}),
+r AS ({_repetition_sql(body)}),
+l AS ({_langid_sql(body)})
+SELECT q.doc_id, q.n_tokens, l.detected_lang,
+  (q.n_tokens >= {R["min_tokens"]} AND q.n_tokens <= {R["max_tokens"]}) AS pass_len,
+  (q.mean_token_len >= {R["min_mean_len"]} AND q.mean_token_len <= {R["max_mean_len"]}) AS pass_word_len,
+  (r.dup_line_frac <= {R["max_dup_line"]} AND r.top_2gram_frac <= {R["max_top2"]}
+   AND r.dup_5gram_frac <= {R["max_dup5"]}) AS pass_rep,
+  (l.detected_lang = '{FILTER_LANG}') AS pass_lang,
+  ((q.n_tokens >= {R["min_tokens"]} AND q.n_tokens <= {R["max_tokens"]})
+   AND (q.mean_token_len >= {R["min_mean_len"]} AND q.mean_token_len <= {R["max_mean_len"]})
+   AND (r.dup_line_frac <= {R["max_dup_line"]} AND r.top_2gram_frac <= {R["max_top2"]}
+        AND r.dup_5gram_frac <= {R["max_dup5"]})
+   AND l.detected_lang = '{FILTER_LANG}') AS keep
+FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+"""
+
+
+TXT_FILTER_SQL = _filter_sql()
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,6 +2328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_token_counts": txt_token_counts,
     "txt_repetition": txt_repetition,
     "dd_line_dedup": dd_line_dedup,
+    "txt_filter_pipeline": txt_filter_pipeline,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2287,6 +2373,7 @@ ORACLES: dict[str, str] = {
     "txt_token_counts": TXT_TOKENS_SQL,
     "txt_repetition": TXT_REPETITION_SQL,
     "dd_line_dedup": DD_LINE_DEDUP_SQL,
+    "txt_filter_pipeline": TXT_FILTER_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

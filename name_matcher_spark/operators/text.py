@@ -265,3 +265,69 @@ def fingerprint(
     return docs.select(
         F.col(id_col), F.md5(F.encode(norm, "UTF-8")).alias("fingerprint")
     )
+
+
+# Shared thresholds for the composed keep/drop verdict — module-level
+# so the DuckDB oracle interpolates the SAME numbers (Gopher-flavored:
+# word-count window, mean-word-length window, repetition caps,
+# language gate; values tuned to split the synthetic corpus, the
+# RULES are the published ones).
+FILTER_RULES: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_len": 3.0,
+    "max_mean_len": 10.0,
+    "max_dup_line": 0.3,
+    "max_top2": 0.2,
+    "max_dup5": 0.6,
+}
+FILTER_LANG = "en"
+
+
+def text_filter_pipeline(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The composed crawl-quality filter: quality metrics + repetition
+    signals + language ID joined into one per-document keep/drop
+    verdict (the C4/Gopher filtering pass), as ONE lazy plan.
+
+    Returns (id, n_tokens, detected_lang, pass_len, pass_word_len,
+    pass_rep, pass_lang, keep) — individual rule verdicts are kept so
+    a pipeline can report WHY documents were dropped (the score-
+    distribution / lineage posture the rest of this engine follows).
+
+    Scale shape: three linear operators over the same corpus joined on
+    the id — quality and langid are pure WSCG projections (zero
+    shuffle), repetition adds its three keyed aggregations; the joins
+    are id-equi-joins AQE plans. Nothing all-pairs.
+    """
+    r = FILTER_RULES
+    # NULL text = empty doc: every verdict must be a real boolean (a
+    # NULL pass_len would silently elide the row from a keep-filter).
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    q = quality_metrics(docs, id_col, text_col)
+    rep = repetition_metrics(docs, id_col, text_col)
+    lang = lang_id(docs, id_col, text_col)
+    j = q.join(rep.drop("n_tokens"), on=id_col).join(lang, on=id_col)
+    pass_len = (F.col("n_tokens") >= r["min_tokens"]) & (
+        F.col("n_tokens") <= r["max_tokens"]
+    )
+    pass_word_len = (F.col("mean_token_len") >= r["min_mean_len"]) & (
+        F.col("mean_token_len") <= r["max_mean_len"]
+    )
+    pass_rep = (
+        (F.col("dup_line_frac") <= r["max_dup_line"])
+        & (F.col("top_2gram_frac") <= r["max_top2"])
+        & (F.col("dup_5gram_frac") <= r["max_dup5"])
+    )
+    pass_lang = F.col("detected_lang") == FILTER_LANG
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("detected_lang"),
+        pass_len.alias("pass_len"),
+        pass_word_len.alias("pass_word_len"),
+        pass_rep.alias("pass_rep"),
+        pass_lang.alias("pass_lang"),
+        (pass_len & pass_word_len & pass_rep & pass_lang).alias("keep"),
+    )

@@ -181,3 +181,21 @@ def test_multimodal_stub(spark):
     assert len(rows[1].feature) == 8
     assert rows[2].n_bytes == 0
     assert rows[1].digest != rows[2].digest
+
+
+def test_text_filter_pipeline_verdicts(spark):
+    from name_matcher_spark.operators.text import text_filter_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "way too short"),
+            (2, " ".join(["click here"] * 15)),  # passes length, fails repetition
+            (3, "the quick brown fox and the lazy dog went to market with "
+                "a basket of fresh bread and some cheese for the picnic"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_filter_pipeline(docs).collect()}
+    assert not rows[1].pass_len and not rows[1].keep
+    assert rows[2].pass_len and not rows[2].pass_rep and not rows[2].keep
+    assert rows[3].keep and rows[3].pass_len and rows[3].pass_rep and rows[3].pass_lang
