@@ -652,12 +652,40 @@ def dedup_clusters(
     )
 
 
+def line_key_expr(hash_fn: str):
+    """Hash of the 'norm' column used as the line-frequency /
+    anti-join key: ``xxhash64`` long (production), ``md5`` hex string
+    (oracle-portable). Shared with the streaming line store so both
+    sides key identically."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.col("norm"))
+    if hash_fn == "md5":
+        return F.md5(F.encode(F.col("norm"), "UTF-8"))
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def exploded_lines(
+    docs: DataFrame, id_col: str, text_col: str, hash_fn: str
+) -> DataFrame:
+    """(id, pos, line, norm, k): non-empty lines of each document with
+    the normalized form and its hash key. NULL text = no lines."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        docs.select(F.col(id_col), F.posexplode(F.split(t, "\n")))
+        .withColumnRenamed("col", "line")
+        .withColumn("norm", _norm_text(F.col("line")))
+        .where(F.col("norm") != "")
+        .withColumn("k", line_key_expr(hash_fn))
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
     hash_fn: str = "xxhash64",
+    boilerplate: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style cross-document line (paragraph) deduplication
     (Wenzek et al. 2019, public): drop every line whose normalized form
@@ -674,32 +702,25 @@ def line_dedup(
     frequency table and anti-join key (production — short shuffle
     keys); ``md5`` uses the hex string (oracle-portable to DuckDB).
 
+    ``boilerplate`` overrides the frequency source: a (k) DataFrame of
+    already-known boilerplate line hashes (e.g. the accumulated
+    streaming line store, streaming/dedup.py) — ``min_docs`` is then
+    the caller's concern. Default None derives it from ``docs``.
+
     Scale shape: posexplode -> frequency groupBy on the line hash ->
     left_anti join on the same hash -> regroup by doc — three linear
     keyed shuffles, no all-pairs. The boilerplate side is the DISTINCT
     over-threshold hash set, typically tiny relative to the corpus
     (AQE broadcasts it when it fits).
     """
-    if hash_fn == "xxhash64":
-        key = F.xxhash64(F.col("norm"))
-    elif hash_fn == "md5":
-        key = F.md5(F.encode(F.col("norm"), "UTF-8"))
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn}")
-
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = (
-        docs.select(F.col(id_col), F.posexplode(F.split(t, "\n")))
-        .withColumnRenamed("col", "line")
-        .withColumn("norm", _norm_text(F.col("line")))
-        .where(F.col("norm") != "")
-        .withColumn("k", key)
-    )
+    lines = exploded_lines(docs, id_col, text_col, hash_fn)
     boiler = (
         lines.groupBy("k")
         .agg(F.countDistinct(id_col).alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("k")
+        if boilerplate is None
+        else boilerplate.select("k")
     )
     kept = lines.join(boiler, on="k", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(

@@ -139,3 +139,85 @@ def incremental_dedup(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def incremental_line_store(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    available_now: bool = True,
+):
+    """Maintain the cross-document line-frequency store incrementally —
+    the streaming half of `operators.dedup.line_dedup` (CCNet
+    boilerplate removal).
+
+    Boilerplate is a GLOBAL property (a line becomes boilerplate only
+    when its min_docs-th document arrives), so an unbounded stream
+    cannot emit final clean text per batch without rewriting history.
+    The honest streaming contract is therefore: accumulate per-batch
+    (line hash, distinct-doc count) partitions here, and apply the
+    threshold at READ time with `clean_with_line_store` — cleaning any
+    document set against the store-so-far. The invariant (tested):
+    after draining the stream, the aggregated store equals the batch
+    frequency table, and store-based cleaning is byte-identical to
+    batch `line_dedup` on the full corpus.
+
+    Assumes doc ids are unique across the stream (same contract as the
+    MinHash bucket store above); a retried batch overwrites its own
+    partition, so counts never double.
+    """
+    from ..operators.dedup import exploded_lines
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            exploded_lines(batch_df, id_col, text_col, hash_fn)
+            .groupBy("k")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
+def clean_with_line_store(
+    docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Apply the accumulated line store to a document set: identical
+    output schema and semantics to `line_dedup`, with the boilerplate
+    set coming from every batch seen so far instead of from `docs`
+    itself. One aggregation over the store (SUM of per-batch
+    distinct-doc counts — valid because doc ids never repeat across
+    batches) feeding the batch operator's own anti-join/regroup plan
+    via its ``boilerplate`` hook."""
+    from ..operators.dedup import line_dedup
+
+    spark = docs.sparkSession
+    boiler = (
+        spark.read.parquet(store_dir)
+        .groupBy("k")
+        .agg(F.sum("nd").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    return line_dedup(
+        docs, id_col, text_col, hash_fn=hash_fn, boilerplate=boiler
+    )
