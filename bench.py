@@ -79,6 +79,11 @@ BENCH_QUERIES = {
     # crawl survivor) -> html_to_text -> tiered dedup -> extract ->
     # algo1 linkage -> clusters, one lazy plan (the north-star demo).
     "wp_crawl_e2e": harness.wp_crawl_e2e,
+    # Round-4 text-pipeline additions: CCNet line dedup and the
+    # composed C4/Gopher quality filter (quality + repetition + langid
+    # verdicts in one lazy plan).
+    "dd_line_dedup": harness.dd_line_dedup,
+    "txt_filter_pipeline": harness.txt_filter_pipeline,
 }
 
 

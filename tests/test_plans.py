@@ -230,3 +230,21 @@ def test_session_keeps_compute_dense_shuffles_wide(spark):
         "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     ) == "64k"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_new_round4_text_operators_plan_quality(spark):
+    """The round-4 text/dedup additions (repetition signals, line
+    dedup, the composed quality filter) must stay JVM-only and never
+    form a cartesian/nested-loop join — same crawl-scale gate as the
+    round-3 operators."""
+    from name_matcher_spark import harness
+
+    for q in (
+        harness.txt_repetition,
+        harness.dd_line_dedup,
+        harness.txt_filter_pipeline,
+    ):
+        plan = _plan(q(spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
