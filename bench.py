@@ -84,6 +84,9 @@ BENCH_QUERIES = {
     # verdicts in one lazy plan).
     "dd_line_dedup": harness.dd_line_dedup,
     "txt_filter_pipeline": harness.txt_filter_pipeline,
+    # ... and their composition: boilerplate strip -> quality filter on
+    # cleaned text -> exact dedup of the keepers, one lazy plan.
+    "txt_corpus_e2e": harness.txt_corpus_e2e,
 }
 
 

@@ -1797,18 +1797,20 @@ def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(corpus, min_docs=2, hash_fn="md5")
 
 
-def _line_dedup_sql() -> str:
+def _line_dedup_sql(corpus_body: str | None = None, min_docs: int = 2) -> str:
     extra_rows = ",\n  ".join(
         "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
         for i, t in LINEDEDUP_EXTRA_DOCS
     )
+    if corpus_body is None:
+        corpus_body = (
+            "SELECT doc_id, text FROM documents\n"
+            "  UNION ALL\n"
+            "  SELECT * FROM (VALUES\n  " + extra_rows + "\n  ) t(doc_id, text)"
+        )
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-  {extra_rows}
-  ) t(doc_id, text)
+  {corpus_body}
 ),
 lx AS (
   SELECT doc_id,
@@ -1826,7 +1828,7 @@ nz AS (
 ),
 boiler AS (
   SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS nd FROM nz GROUP BY k)
-  WHERE nd >= 2
+  WHERE nd >= {min_docs}
 ),
 kept AS (SELECT * FROM nz WHERE k NOT IN (SELECT k FROM boiler)),
 reb AS (
@@ -1887,13 +1889,19 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_filter_pipeline(corpus)
 
 
-def _filter_sql() -> str:
+def _filter_sql(corpus_body: str | None = None) -> str:
     from .operators.text import FILTER_LANG, FILTER_RULES as R
 
     extra_rows = ",\n  ".join(
         "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
         for i, t in FILTER_EXTRA_DOCS
     )
+    if corpus_body is None:
+        corpus_body = (
+            "SELECT doc_id, text FROM documents\n"
+            "  UNION ALL\n"
+            "  SELECT * FROM (VALUES\n  " + extra_rows + "\n  ) t(doc_id, text)"
+        )
     body = "SELECT doc_id, text FROM docs"
     qual = TXT_QUALITY_SQL.replace("FROM documents", "FROM docs")
     # AS MATERIALIZED: the corpus CTE feeds three sub-oracles; without
@@ -1901,11 +1909,7 @@ def _filter_sql() -> str:
     # chained oracles).
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-  {extra_rows}
-  ) t(doc_id, text)
+  {corpus_body}
 ),
 q AS ({qual}),
 r AS ({_repetition_sql(body)}),
@@ -1926,6 +1930,144 @@ FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
 
 
 TXT_FILTER_SQL = _filter_sql()
+
+
+# Corpus-pipeline extras: two docs whose RAW text differs only by
+# boilerplate footers and become byte-identical AFTER line dedup (the
+# exact-dup stage must catch what line dedup exposes — with min_docs=3
+# the duplicated payload pair itself stays below the boilerplate
+# threshold, which is why the composition runs at 3, the realistic
+# CCNet setting, while each footer is planted in three docs), plus
+# filler docs that carry the footers past the threshold and pass every
+# filter gate themselves.
+_CORPUS_PAYLOAD = (
+    "the payload of the record stays exactly the same in both pages\n"
+    "and the second line of the payload is also identical here"
+)
+CORPUS_EXTRA_DOCS: list[tuple[int, str]] = [
+    (940001, _CORPUS_PAYLOAD + "\nFooter Alpha Bar Navigation"),
+    (940002, _CORPUS_PAYLOAD + "\nFooter Beta Bar Navigation"),
+    (940003, "Footer Alpha Bar Navigation\nthe first filler keeps plenty of "
+             "english words with the usual mix of the and that for language "
+             "detection and the length gate alike"),
+    (940004, "Footer Beta Bar Navigation\nthe second filler is another set of "
+             "ordinary english words that keep the quality gates happy today "
+             "and tomorrow and the day after"),
+    (940005, "Footer Alpha Bar Navigation\nthe third filler with the brown fox "
+             "and the lazy dog to make the stopword counters vote english "
+             "without any doubt at all here"),
+    (940006, "Footer Beta Bar Navigation\nthe fourth filler where the words "
+             "keep flowing with the calm rhythm of that simple english prose "
+             "until the very end of it"),
+]
+
+_CORPUS_MIN_DOCS = 3
+
+
+def txt_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data corpus pipeline as ONE lazy plan: CCNet line
+    dedup (boilerplate removal, min_docs=3) -> C4/Gopher quality
+    filter on the CLEANED text -> exact dedup among the keepers.
+    One row per input doc: (doc_id, n_lines_dropped, n_tokens,
+    detected_lang, keep, status, canonical_id) where status is
+    'filtered' (failed a quality gate), 'exact_dup' (identical
+    post-clean to an earlier keeper), or 'kept'. Ordering matters and
+    is the standard crawl architecture: boilerplate strip FIRST so the
+    filter judges real content, dedup LAST so near-identical pages
+    that differ only in chrome collapse (the planted 940001/940002
+    pair is byte-different raw and byte-identical cleaned).
+
+    100 TB posture: every stage is the audited linear-shuffle operator
+    (line_dedup three keyed shuffles; quality/langid zero-shuffle
+    WSCG; exact dedup one shuffle on a 16-byte key); the stages chain
+    lazily with no driver materialization."""
+    from .operators.dedup import exact_duplicates, line_dedup
+    from .operators.text import text_filter_pipeline
+
+    extra = spark.createDataFrame(
+        LINEDEDUP_EXTRA_DOCS + FILTER_EXTRA_DOCS + CORPUS_EXTRA_DOCS,
+        "doc_id long, text string",
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    cleaned = line_dedup(
+        corpus, min_docs=_CORPUS_MIN_DOCS, hash_fn="md5"
+    )
+    cdocs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    verd = text_filter_pipeline(cdocs)
+    kept = cdocs.join(
+        verd.where(F.col("keep")).select("doc_id"), "doc_id", "leftsemi"
+    )
+    ex = exact_duplicates(kept)
+    return (
+        cleaned.select("doc_id", "n_lines_dropped")
+        .join(verd.select("doc_id", "n_tokens", "detected_lang", "keep"), "doc_id")
+        .join(ex.select("doc_id", "canonical_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines_dropped",
+            "n_tokens",
+            "detected_lang",
+            "keep",
+            F.when(~F.col("keep"), F.lit("filtered"))
+            .when(
+                F.col("canonical_id").isNull()
+                | (F.col("canonical_id") == F.col("doc_id")),
+                F.lit("kept"),
+            )
+            .otherwise(F.lit("exact_dup"))
+            .alias("status"),
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
+def _corpus_sql() -> str:
+    extra_rows = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in LINEDEDUP_EXTRA_DOCS + FILTER_EXTRA_DOCS + CORPUS_EXTRA_DOCS
+    )
+    clean_sql = _line_dedup_sql(
+        "SELECT doc_id, text FROM corpus0", min_docs=_CORPUS_MIN_DOCS
+    )
+    verd_sql = _filter_sql("SELECT doc_id, clean_text AS text FROM cleanres")
+    return f"""
+WITH corpus0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+),
+cleanres AS MATERIALIZED ({clean_sql}),
+verd AS MATERIALIZED ({verd_sql}),
+kept AS (
+  SELECT c.doc_id, c.clean_text FROM cleanres c
+  JOIN verd USING (doc_id) WHERE verd.keep
+),
+hashed AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g')) AS h
+  FROM kept
+),
+grp AS (
+  SELECT h, min(doc_id) AS canonical_id FROM hashed
+  GROUP BY h HAVING count(*) >= 2
+),
+ex AS (SELECT hashed.doc_id, grp.canonical_id FROM hashed JOIN grp USING (h))
+SELECT c.doc_id, c.n_lines_dropped, v.n_tokens, v.detected_lang, v.keep,
+  CASE WHEN NOT v.keep THEN 'filtered'
+       WHEN ex.canonical_id IS NULL OR ex.canonical_id = c.doc_id THEN 'kept'
+       ELSE 'exact_dup' END AS status,
+  coalesce(ex.canonical_id, c.doc_id) AS canonical_id
+FROM cleanres c
+JOIN verd v USING (doc_id)
+LEFT JOIN ex USING (doc_id)
+"""
+
+
+TXT_CORPUS_SQL = _corpus_sql()
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2329,6 +2471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_repetition": txt_repetition,
     "dd_line_dedup": dd_line_dedup,
     "txt_filter_pipeline": txt_filter_pipeline,
+    "txt_corpus_e2e": txt_corpus_e2e,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2374,6 +2517,7 @@ ORACLES: dict[str, str] = {
     "txt_repetition": TXT_REPETITION_SQL,
     "dd_line_dedup": DD_LINE_DEDUP_SQL,
     "txt_filter_pipeline": TXT_FILTER_SQL,
+    "txt_corpus_e2e": TXT_CORPUS_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

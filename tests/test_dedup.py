@@ -360,3 +360,52 @@ def test_line_dedup_semantics(spark):
     keep_all = {r.doc_id: r for r in line_dedup(docs, min_docs=5).collect()}
     assert keep_all[3].clean_text == "Shared Footer"
     assert keep_all[1].n_lines_dropped == 0
+
+
+def test_corpus_pipeline_ordering(spark):
+    """The corpus composition's load-bearing property: docs that
+    differ raw but are identical after boilerplate removal collapse in
+    the exact-dup stage (dedup AFTER clean), and the filter judges
+    CLEANED text (a doc whose junk is all boilerplate gets kept)."""
+    from name_matcher_spark.operators.dedup import exact_duplicates, line_dedup
+    from name_matcher_spark.operators.text import text_filter_pipeline
+
+    payload = (
+        "the payload of the record stays exactly the same in both pages\n"
+        "and the second line of the payload is also identical here"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, payload + "\nFooter One"),
+            (2, payload + "\nFooter Two"),
+            (3, "Footer One\nthe first carrier doc with the plain english "
+                "words that the gates accept easily and the length fits"),
+            (4, "Footer Two\nthe second carrier doc where the text keeps the "
+                "same friendly english tone that the filters will accept"),
+            (5, "Footer One"),  # all boilerplate -> empty -> filtered
+            (6, "Footer Two\nclick here click here click here click here "
+                "click here click here click here click here click here"),
+        ],
+        "doc_id long, text string",
+    )
+    # min_docs=3: each footer is in three docs (boilerplate), the
+    # payload pair is only in two (content) — at min_docs=2 the
+    # duplicated payload would itself be classed boilerplate and line
+    # dedup would subsume the exact-dup stage entirely
+    cleaned = line_dedup(docs, min_docs=3)
+    cdocs = cleaned.selectExpr("doc_id", "clean_text as text")
+    verd = {r.doc_id: r for r in text_filter_pipeline(cdocs).collect()}
+    # raw texts 1 and 2 differ; cleaned they are identical and keep-worthy
+    assert verd[1].keep and verd[2].keep
+    assert not verd[5].keep          # nothing left after clean
+    assert not verd[6].keep          # repetition survives the clean, fails
+    kept = cdocs.join(
+        spark.createDataFrame(
+            [(i,) for i, v in verd.items() if v.keep], "doc_id long"
+        ),
+        "doc_id",
+        "leftsemi",
+    )
+    ex = {r.doc_id: r for r in exact_duplicates(kept).collect()}
+    assert ex[1].canonical_id == 1 and ex[2].canonical_id == 1
+    assert 3 not in ex and 4 not in ex

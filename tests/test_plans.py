@@ -243,6 +243,7 @@ def test_new_round4_text_operators_plan_quality(spark):
         harness.txt_repetition,
         harness.dd_line_dedup,
         harness.txt_filter_pipeline,
+        harness.txt_corpus_e2e,
     ):
         plan = _plan(q(spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
