@@ -2070,6 +2070,83 @@ LEFT JOIN ex USING (doc_id)
 TXT_CORPUS_SQL = _corpus_sql()
 
 
+def wp_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL prefilter (operators/web.py::url_filter) over
+    deterministically synthesized frontier URLs: blocked asset
+    extensions (case-varied), non-http schemes, dotless hosts, query
+    strings that must NOT count toward the extension, extension-less
+    paths. The oracle replays every regexp in DuckDB."""
+    from .operators.web import url_filter
+
+    p = persons_a(spark, sf_dir).select("id")
+    g = F.col("id") % 300
+    scheme = (
+        F.when(F.col("id") % 5 == 0, F.lit("ftp://"))
+        .when(F.col("id") % 5 == 1, F.lit("HTTPS://"))
+        .otherwise(F.lit("http://"))
+    )
+    host = (
+        F.when(F.col("id") % 4 == 0, F.lit("localhost"))
+        .when(F.col("id") % 4 == 1, F.concat(F.lit("Site"), (g % 97).cast("string"), F.lit(".Example")))
+        .otherwise(F.concat(F.lit("site"), (g % 97).cast("string"), F.lit(".example")))
+    )
+    path = (
+        F.when(F.col("id") % 6 == 0, F.lit("/assets/app.css"))
+        .when(F.col("id") % 6 == 1, F.lit("/img/logo.PNG"))
+        .when(F.col("id") % 6 == 2, F.lit("/index.html"))
+        .when(F.col("id") % 6 == 3, F.concat(F.lit("/page"), g.cast("string")))
+        .when(F.col("id") % 6 == 4, F.lit("/files/archive.tar"))
+        .otherwise(F.lit("/doc.php?x=1.css"))
+    )
+    return url_filter(p.select(F.concat(scheme, host, path).alias("url")))
+
+
+def _url_filter_sql() -> str:
+    from .operators.web import BLOCKED_URL_EXTENSIONS
+
+    blocked = ", ".join(f"'{e}'" for e in BLOCKED_URL_EXTENSIONS)
+    return f"""
+WITH RECURSIVE pa AS ({PERSONS_A_SQL}),
+urls AS (
+  SELECT
+    (CASE WHEN id % 5 = 0 THEN 'ftp://'
+          WHEN id % 5 = 1 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN id % 4 = 0 THEN 'localhost'
+             WHEN id % 4 = 1 THEN 'Site' || CAST((id % 300) % 97 AS VARCHAR) || '.Example'
+             ELSE 'site' || CAST((id % 300) % 97 AS VARCHAR) || '.example' END)
+    || (CASE WHEN id % 6 = 0 THEN '/assets/app.css'
+             WHEN id % 6 = 1 THEN '/img/logo.PNG'
+             WHEN id % 6 = 2 THEN '/index.html'
+             WHEN id % 6 = 3 THEN '/page' || CAST(id % 300 AS VARCHAR)
+             WHEN id % 6 = 4 THEN '/files/archive.tar'
+             ELSE '/doc.php?x=1.css' END) AS url
+  FROM pa
+),
+parts AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+    lower(regexp_extract(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '\\.([A-Za-z0-9]{{1,5}})$', 1)) AS ext
+  FROM urls
+),
+v AS (
+  SELECT url, scheme, host, ext,
+    scheme IN ('http', 'https') AS pass_scheme,
+    regexp_matches(host, '^[a-z0-9.-]+\\.[a-z]{{2,}}$') AS pass_host,
+    ext NOT IN ({blocked}) AS pass_ext
+  FROM parts
+)
+SELECT url, scheme, host, ext, pass_scheme, pass_host, pass_ext,
+  (pass_scheme AND pass_host AND pass_ext) AS keep
+FROM v
+"""
+
+
+WP_URL_FILTER_SQL = _url_filter_sql()
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
@@ -2472,6 +2549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_line_dedup": dd_line_dedup,
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_corpus_e2e": txt_corpus_e2e,
+    "wp_url_filter": wp_url_filter,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2518,6 +2596,7 @@ ORACLES: dict[str, str] = {
     "dd_line_dedup": DD_LINE_DEDUP_SQL,
     "txt_filter_pipeline": TXT_FILTER_SQL,
     "txt_corpus_e2e": TXT_CORPUS_SQL,
+    "wp_url_filter": WP_URL_FILTER_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

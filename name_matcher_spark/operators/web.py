@@ -307,3 +307,52 @@ def url_dedup_groups(
         .agg(F.count("*").alias("n_urls"), keep)
         .filter(F.col("n_urls") >= min_group)
     )
+
+
+# C4-style URL prefilter: extensions that mark non-text assets a crawl
+# text pipeline drops before fetching/parsing (stylesheets, scripts,
+# images, fonts, media, archives, binaries). Module-level so the
+# DuckDB oracle interpolates the same set.
+BLOCKED_URL_EXTENSIONS: tuple[str, ...] = (
+    "css", "js", "json", "png", "jpg", "jpeg", "gif", "svg", "ico",
+    "webp", "woff", "woff2", "ttf", "eot", "mp3", "mp4", "avi", "mov",
+    "webm", "zip", "gz", "tar", "rar", "7z", "exe", "dmg", "iso",
+)
+
+
+def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL keep/drop verdicts for the crawl frontier — the filter
+    that runs BEFORE any fetch or parse (the C4/CCNet URL prefilter):
+
+    * ``pass_scheme`` — scheme is http/https (case-insensitive);
+      ftp/mailto/javascript/data URLs are never page text.
+    * ``pass_host``  — host looks like a registered name (has a dot +
+      alphabetic TLD); bare hosts (localhost, intranet names) and
+      raw garbage are dropped.
+    * ``pass_ext``   — the path's final extension (if any) is not a
+      known non-text asset type (BLOCKED_URL_EXTENSIONS); extension-
+      less and .html/.htm/.php/... paths pass.
+
+    Returns (url, scheme, host, ext, pass_scheme, pass_host, pass_ext,
+    keep). NULL urls get all-false verdicts (a NULL keep would
+    silently elide the row from a frontier filter). Pure JVM regexp
+    projection — zero shuffle, WSCG end-to-end, trivially 100 TB-safe.
+    """
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+    pass_scheme = scheme.isin("http", "https")
+    pass_host = host.rlike(r"^[a-z0-9.-]+\.[a-z]{2,}$")
+    pass_ext = ~ext.isin(*BLOCKED_URL_EXTENSIONS)
+    return df.select(
+        F.col(url_col).alias("url"),
+        scheme.alias("scheme"),
+        host.alias("host"),
+        ext.alias("ext"),
+        pass_scheme.alias("pass_scheme"),
+        pass_host.alias("pass_host"),
+        pass_ext.alias("pass_ext"),
+        (pass_scheme & pass_host & pass_ext).alias("keep"),
+    )

@@ -246,3 +246,27 @@ def test_canonical_url_idn_fold(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_filter_verdicts(spark):
+    from name_matcher_spark.operators.web import url_filter
+
+    urls = [
+        "http://good.example/index.html",
+        "http://good.example/page",                 # extension-less
+        "http://good.example/assets/app.CSS",       # blocked, case-folded
+        "https://good.example/x.tar",               # blocked archive
+        "ftp://good.example/file.html",             # bad scheme
+        "http://localhost/index.html",              # dotless host
+        "http://good.example/doc.php?x=1.css",      # query must not leak into ext
+        "javascript:alert(1)",                      # no ://-authority at all
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {r.url: r for r in url_filter(df).collect()}
+    assert rows[urls[0]].keep and rows[urls[1]].keep
+    assert not rows[urls[2]].pass_ext and rows[urls[2]].ext == "css"
+    assert not rows[urls[3]].pass_ext
+    assert not rows[urls[4]].pass_scheme and rows[urls[4]].pass_ext
+    assert not rows[urls[5]].pass_host
+    assert rows[urls[6]].keep and rows[urls[6]].ext == "php"
+    assert not rows[urls[7]].keep and rows[urls[7]].scheme == ""

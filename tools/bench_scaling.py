@@ -170,6 +170,19 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-child":
         crawl_child(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--corpus-child":
+        corpus_child(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--corpus":
+        levels = (4, 16)
+        if "--levels" in sys.argv:
+            i = sys.argv.index("--levels")
+            levels = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        inflate = 0
+        if "--inflate" in sys.argv:
+            inflate = int(sys.argv[sys.argv.index("--inflate") + 1])
+        run_corpus(levels, inflate)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl":
         levels = (4, 16)
         if "--levels" in sys.argv:
@@ -459,6 +472,114 @@ def crawl_child(cpus: int, sf_dir: str) -> None:
             }
         )
     )
+
+
+def corpus_child(cpus: int, sf_dir: str) -> None:
+    """The text-corpus composition (harness.txt_corpus_e2e: CCNet line
+    dedup -> quality filter on cleaned text -> exact dedup) at one
+    parallelism level; shuffle partitions pinned (64) so only the
+    task-slot count differs between levels. min-of-rest after a warmup
+    pass, same protocol as crawl_child."""
+    from name_matcher_spark import harness
+    from name_matcher_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"corpus-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
+    )
+    harness._docs(spark, sf_dir).count()
+    passes = int(os.environ.get("NMS_CORPUS_PASSES", "3"))
+    walls, docs = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        docs = harness.txt_corpus_e2e(spark, sf_dir).count()
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls[1:])
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": wall,
+                "walls": walls,
+                "docs": docs,
+                "docs_per_sec": round(docs / wall, 1),
+            }
+        )
+    )
+
+
+def inflate_corpus_input(sf_dir: str, k: int) -> str:
+    """K id-shifted copies of documents into a cached temp dir, each
+    copy's text carrying a per-copy suffix token. The suffix matters:
+    EXACT copies would make every line appear in K >= min_docs
+    documents, the line-dedup tier would classify the whole corpus as
+    boilerplate, and the downstream stages would measure nothing. With
+    per-copy variation every stage does full work on K x the rows."""
+    import pandas as pd
+
+    out = CACHE / f"corpus_sf01_x{k}"
+    if (out / "documents.parquet").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pd.concat(
+        [
+            docs.assign(
+                doc_id=docs["doc_id"] + i * 1_000_000,
+                text=docs["text"] + f" copyvariant{i}",
+            )
+            for i in range(k)
+        ],
+        ignore_index=True,
+    ).to_parquet(out / "documents.parquet", index=False)
+    return str(out)
+
+
+def run_corpus(
+    levels: tuple[int, int] = (4, 16), inflate: int = 0
+) -> dict:
+    """Text-corpus-composition scaling at N->4N; merges into
+    BENCH/scaling_latest.json under corpus_* keys."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag_suffix = ""
+    if inflate:
+        sf_dir = inflate_corpus_input(sf_dir, inflate)
+        tag_suffix = f"_x{inflate}"
+    res = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--corpus-child", str(cpus), sf_dir],
+            capture_output=True, text=True, check=False, timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                res[cpus] = json.loads(line)
+        if cpus not in res:
+            raise RuntimeError(f"corpus child failed: {proc.stderr[-1500:]}")
+        print("corpus", cpus, "->", res[cpus])
+    lo, hi = levels
+    factor = hi / lo
+    speed = res[lo]["wall_sec"] / res[hi]["wall_sec"]
+    host = host_calibration(levels)
+    tag = f"{lo}_to_{hi}{tag_suffix}"
+    merged = {
+        f"corpus_local{lo}{tag_suffix}": res[lo],
+        f"corpus_local{hi}{tag_suffix}": res[hi],
+        f"corpus_speedup_{tag}": round(speed, 3),
+        f"corpus_scaling_efficiency_{tag}": round(speed / factor, 3),
+        f"corpus_host_calibration_mp_speedup_{tag}": host["speedup"],
+        f"corpus_efficiency_vs_host_ceiling_{tag}": round(
+            speed / host["speedup"], 3
+        ),
+        f"corpus_input{tag_suffix}": sf_dir,
+    }
+    path = REPO / "BENCH" / "scaling_latest.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data.update(merged)
+    path.write_text(json.dumps(data, indent=2))
+    print(json.dumps(merged, indent=2))
+    return merged
 
 
 def inflate_crawl_input(sf_dir: str, k: int) -> str:
