@@ -2147,6 +2147,66 @@ FROM v
 WP_URL_FILTER_SQL = _url_filter_sql()
 
 
+# PII cases planted into the corpus (the parquet fixture is digit-free
+# word salad): multiple emails, dotted quads, phone shapes, a
+# mixed-kind doc, a clean doc, and the documented over-match cases
+# (a dotted version string redacts as an IP, a dashed date as a
+# phone — redaction-side-safe behavior, deterministic in both
+# engines).
+PII_EXTRA_DOCS: list[tuple[int, str]] = [
+    (950001, "contact me at john.doe@example.com or jane@sub.example.org thanks"),
+    (950002, "server at 192.168.0.1 and 10.0.0.255 went down"),
+    (950003, "call +1 555 123 4567 or 0800-444-333 for help"),
+    (950004, "mixed: bob@x.io from 8.8.8.8 phone 02-1234-5678"),
+    (950005, "no pii here at all just text"),
+    (950006, "version 1.2.3.4 of the package released 2026-08-17"),
+]
+
+
+def txt_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import redact_pii
+
+    extra = spark.createDataFrame(PII_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    return redact_pii(corpus)
+
+
+def _pii_sql() -> str:
+    from .operators.text import PII_ORDER, PII_PATTERNS
+
+    extra_rows = ",\n  ".join(f"({i}, '{t}')" for i, t in PII_EXTRA_DOCS)
+    token = {"email": "|||EMAIL|||", "ipv4": "|||IP|||", "phone": "|||PHONE|||"}
+    # The fold: each rule counts on, then rewrites, the previous
+    # rule's output — one chained CTE per PII kind, mirroring the
+    # operator's fixed application order.
+    steps, prev = [], "coalesce(text, '')"
+    count_cols = []
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        steps.append(
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        count_cols.append(f"n_{kind}")
+        prev = f"regexp_replace({prev}, '{pat}', '{token[kind]}', 'g')"
+    steps_sql = ",\n  ".join(steps)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {extra_rows}
+  ) t(doc_id, text)
+)
+SELECT doc_id,
+  {prev} AS redacted_text,
+  {steps_sql}
+FROM corpus
+"""
+
+
+TXT_PII_SQL = _pii_sql()
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
@@ -2550,6 +2610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_corpus_e2e": txt_corpus_e2e,
     "wp_url_filter": wp_url_filter,
+    "txt_pii": txt_pii,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -2597,6 +2658,7 @@ ORACLES: dict[str, str] = {
     "txt_filter_pipeline": TXT_FILTER_SQL,
     "txt_corpus_e2e": TXT_CORPUS_SQL,
     "wp_url_filter": WP_URL_FILTER_SQL,
+    "txt_pii": TXT_PII_SQL,
     "sim_cosine_topk": SIM_COSINE_SQL,
     "sim_lsh_topk": SIM_LSH_SQL,
     "sim_ivf_topk": SIM_IVF_SQL,

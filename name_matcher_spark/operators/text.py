@@ -331,3 +331,55 @@ def text_filter_pipeline(
         pass_lang.alias("pass_lang"),
         (pass_len & pass_word_len & pass_rep & pass_lang).alias("keep"),
     )
+
+
+# PII patterns for the pretraining redaction pass (the standard
+# public-corpus hygiene step): kept deliberately simple, anchored on
+# token shape, and shared verbatim with the DuckDB oracle. Java and
+# RE2 agree on this subset (no lookbehind, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative, no quoted-local-part exotica
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: optional +CC, 3 groups with -/./space
+    # separators, 7-14 digits total; word-ish boundaries via (?<! )…
+    # are not RE2-portable, so the corpus pass accepts digit-run
+    # over-matching as the redaction-side-safe behavior
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ]?[0-9]{0,4}",
+    # dotted-quad IPv4
+    "ipv4": r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect-and-mask PII in document text — the corpus-hygiene pass
+    every public pretraining pipeline runs before release: emails,
+    dotted-quad IPs, and phone-shaped digit groups are replaced with
+    |||EMAIL|||, |||IP|||, |||PHONE||| sentinels (the public Dolma
+    convention) and per-kind match counts are reported.
+
+    Returns (id, redacted_text, n_email, n_ipv4, n_phone). Application
+    order is fixed (PII_ORDER: email, ipv4, phone) and each rule runs
+    on the PREVIOUS rule's output, so a phone pattern can never
+    re-match inside an already-masked email token; counts are measured
+    on that same intermediate text, making the whole pass a
+    deterministic fold the oracle replays rule for rule. Pure JVM
+    regexp projection: zero shuffle, WSCG, 100 TB-safe by
+    construction. NULL text redacts to the empty string.
+    """
+    out = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {}
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.regexp_count(out, F.lit(pat))
+        token = {"email": "|||EMAIL|||", "ipv4": "|||IP|||", "phone": "|||PHONE|||"}[kind]
+        out = F.regexp_replace(out, pat, token)
+    return docs.select(
+        F.col(id_col),
+        out.alias("redacted_text"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+    )

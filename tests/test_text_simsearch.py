@@ -199,3 +199,25 @@ def test_text_filter_pipeline_verdicts(spark):
     assert not rows[1].pass_len and not rows[1].keep
     assert rows[2].pass_len and not rows[2].pass_rep and not rows[2].keep
     assert rows[3].keep and rows[3].pass_len and rows[3].pass_rep and rows[3].pass_lang
+
+
+def test_redact_pii(spark):
+    from name_matcher_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@x.io and alice@y.org now"),
+            (2, "host 10.0.0.1 dialed +44 20 7946 0958"),
+            (3, None),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].n_email == 2
+    assert rows[1].redacted_text == "mail |||EMAIL||| and |||EMAIL||| now"
+    assert rows[2].n_ipv4 == 1 and rows[2].n_phone == 1
+    assert "10.0.0.1" not in rows[2].redacted_text
+    assert "7946" not in rows[2].redacted_text
+    assert rows[3].redacted_text == "" and rows[3].n_email == 0
+    assert rows[4].redacted_text == "clean text only"
