@@ -1516,7 +1516,8 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_metrics(_docs(spark, sf_dir))
 
 
-TXT_QUALITY_SQL = """
+def _quality_sql(from_tbl: str = "documents") -> str:
+    return f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(CASE WHEN trim(text) = '' THEN 0
@@ -1534,8 +1535,11 @@ SELECT doc_id,
        THEN round(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with)\\b')) AS DOUBLE)
                   / len(regexp_split_to_array(trim(text), '\\s+')), 4)
        ELSE 0.0 END AS stopword_ratio
-FROM documents
+FROM {from_tbl}
 """
+
+
+TXT_QUALITY_SQL = _quality_sql()
 
 
 # Non-Latin docs appended to the corpus (the parquet fixture is Latin-
@@ -1721,10 +1725,11 @@ WITH corpus AS (
   {corpus_body}
 ),
 tok AS (
+  -- coalesce mirrors the operator: NULL text = all-zero row, not NULLs
   SELECT doc_id,
-    list_filter(list_transform(regexp_split_to_array(text, chr(10)),
+    list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), chr(10)),
                                x -> trim(x)), x -> x <> '') AS larr,
-    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
                 x -> x <> '') AS toks
   FROM corpus
 ),
@@ -1903,13 +1908,15 @@ def _filter_sql(corpus_body: str | None = None) -> str:
             "  SELECT * FROM (VALUES\n  " + extra_rows + "\n  ) t(doc_id, text)"
         )
     body = "SELECT doc_id, text FROM docs"
-    qual = TXT_QUALITY_SQL.replace("FROM documents", "FROM docs")
+    qual = _quality_sql(from_tbl="docs")
     # AS MATERIALIZED: the corpus CTE feeds three sub-oracles; without
     # it DuckDB re-opens the parquet per reference (fd exhaustion on
     # chained oracles).
+    # The entry coalesce mirrors text_filter_pipeline's: every verdict
+    # is computed on NULL-text-as-empty, never NULL-propagated.
     return f"""
 WITH docs AS MATERIALIZED (
-  {corpus_body}
+  SELECT doc_id, coalesce(text, '') AS text FROM ({corpus_body}) corpus_in
 ),
 q AS ({qual}),
 r AS ({_repetition_sql(body)}),

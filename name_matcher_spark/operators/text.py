@@ -47,21 +47,11 @@ SCRIPT_CLASSES: list[tuple[str, str]] = [
 SCRIPT_MIN_FRACTION_DEN = 20
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, detected_lang, lang_score).
-
-    Priority rules (deterministic, mirrored by the DuckDB oracle):
-      1. Script vote. Count characters per Unicode script class
-         (SCRIPT_CLASSES); a script is ELIGIBLE when count > 0 and
-         count * SCRIPT_MIN_FRACTION_DEN >= non-whitespace chars.
-         Eligible kana -> 'ja' outright (see SCRIPT_CLASSES note);
-         otherwise argmax over the remaining eligible scripts, ties
-         broken by list order (strict > comparison).
-      2. Latin stopword vote: argmax over marker-hit counts, language
-         order en > es > de > fr (strict >).
-      3. 'und' when nothing fires. lang_score is the winning count
-         (script chars for rule 1, marker hits for rule 2)."""
-    t = F.col(text_col)
+def _langid_cols(t: Column) -> tuple[Column, Column]:
+    """(detected_lang, lang_score) expressions over a text column —
+    the shared core of `lang_id` and the fused projection in
+    `text_filter_pipeline` (both are pure per-row expressions, so
+    composing them into one select costs nothing and saves a join)."""
     n_nonws = F.length(F.regexp_replace(t, "\\s+", ""))
     script = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in SCRIPT_CLASSES}
     eligible = {
@@ -94,10 +84,28 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .when(s_lang.isNotNull(), s_score)
         .otherwise(best_score)
     )
+    return final_lang, final_score.cast("long")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, detected_lang, lang_score).
+
+    Priority rules (deterministic, mirrored by the DuckDB oracle):
+      1. Script vote. Count characters per Unicode script class
+         (SCRIPT_CLASSES); a script is ELIGIBLE when count > 0 and
+         count * SCRIPT_MIN_FRACTION_DEN >= non-whitespace chars.
+         Eligible kana -> 'ja' outright (see SCRIPT_CLASSES note);
+         otherwise argmax over the remaining eligible scripts, ties
+         broken by list order (strict > comparison).
+      2. Latin stopword vote: argmax over marker-hit counts, language
+         order en > es > de > fr (strict >).
+      3. 'und' when nothing fires. lang_score is the winning count
+         (script chars for rule 1, marker hits for rule 2)."""
+    lang, score = _langid_cols(F.col(text_col))
     return docs.select(
         F.col(id_col),
-        final_lang.alias("detected_lang"),
-        final_score.cast("long").alias("lang_score"),
+        lang.alias("detected_lang"),
+        score.alias("lang_score"),
     )
 
 
@@ -296,19 +304,30 @@ def text_filter_pipeline(
     a pipeline can report WHY documents were dropped (the score-
     distribution / lineage posture the rest of this engine follows).
 
-    Scale shape: three linear operators over the same corpus joined on
-    the id — quality and langid are pure WSCG projections (zero
-    shuffle), repetition adds its three keyed aggregations; the joins
-    are id-equi-joins AQE plans. Nothing all-pairs.
+    Scale shape: the length/word-length/language signals are pure
+    per-row expressions, so they are FUSED into one zero-shuffle WSCG
+    projection (no join between them — `_langid_cols` exists for
+    exactly this); repetition genuinely aggregates and contributes the
+    plan's only keyed shuffles plus the single id-equi-join. Nothing
+    all-pairs.
     """
     r = FILTER_RULES
     # NULL text = empty doc: every verdict must be a real boolean (a
     # NULL pass_len would silently elide the row from a keep-filter).
     docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-    q = quality_metrics(docs, id_col, text_col)
+    t = F.col(text_col)
+    lang_expr, _score = _langid_cols(t)
+    n_tokens = token_count(t)
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, F.round(F.length(t) / n_tokens, 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        lang_expr.alias("detected_lang"),
+    )
     rep = repetition_metrics(docs, id_col, text_col)
-    lang = lang_id(docs, id_col, text_col)
-    j = q.join(rep.drop("n_tokens"), on=id_col).join(lang, on=id_col)
+    j = base.join(rep.drop("n_tokens"), on=id_col)
     pass_len = (F.col("n_tokens") >= r["min_tokens"]) & (
         F.col("n_tokens") <= r["max_tokens"]
     )

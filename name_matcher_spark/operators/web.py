@@ -334,9 +334,12 @@ def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
       less and .html/.htm/.php/... paths pass.
 
     Returns (url, scheme, host, ext, pass_scheme, pass_host, pass_ext,
-    keep). NULL urls get all-false verdicts (a NULL keep would
-    silently elide the row from a frontier filter). Pure JVM regexp
-    projection — zero shuffle, WSCG end-to-end, trivially 100 TB-safe.
+    keep). NULL urls fail the scheme and host gates, so keep is a real
+    False, never NULL (a NULL keep would silently elide the row from a
+    frontier filter); pass_ext stays True for them — it means "no
+    BLOCKED extension", and a NULL url has no extension at all. Pure
+    JVM regexp projection — zero shuffle, WSCG end-to-end, trivially
+    100 TB-safe.
     """
     u = F.coalesce(F.col(url_col), F.lit(""))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

@@ -293,6 +293,12 @@ class TableStageCheckpoint(StageCheckpoint):
         ensure_namespace(spark, f"{prefix}_manifest")
 
     def _table(self, stage: str) -> str:
+        if stage == "manifest":
+            # {prefix}_manifest IS the manifest table; a stage of that
+            # name would overwrite every stage's lineage rows.
+            raise ValueError(
+                "'manifest' is reserved (collides with the manifest table)"
+            )
         return f"{self.prefix}_{stage}"
 
     @property

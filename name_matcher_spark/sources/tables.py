@@ -38,20 +38,32 @@ v1 ``saveAsTable`` path automatically.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 # 1-3 dot-separated SQL identifiers (catalog.namespace.table). Paths
-# always contain a separator or scheme, so the grammars are disjoint.
+# with a separator or scheme never match; the one genuinely ambiguous
+# shape is a bare relative filename like ``persons.parquet`` (a valid
+# 2-part identifier), so dotted refs whose final segment is a known
+# data-file extension are classified as paths — nobody names a table
+# ``x.parquet``, everybody names files that.
 _TABLE_REF = re.compile(
     r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}$"
+)
+_FILE_EXTENSIONS = frozenset(
+    {"parquet", "csv", "json", "jsonl", "orc", "avro", "txt", "tsv"}
 )
 
 
 def is_table_ref(ref: str) -> bool:
     """True when ``ref`` names a catalog table rather than a path."""
-    return bool(_TABLE_REF.match(ref))
+    if not _TABLE_REF.match(ref):
+        return False
+    if "." in ref and ref.rsplit(".", 1)[1].lower() in _FILE_EXTENSIONS:
+        return False
+    return True
 
 
 def read_table(spark: SparkSession, ref: str, fmt: str = "parquet") -> DataFrame:
@@ -80,24 +92,74 @@ def write_table(
     if not is_table_ref(ref):
         df.write.format(fmt).mode(mode).save(ref)
         return
+    spark = df.sparkSession
     if mode == "overwrite":
         try:
             df.writeTo(ref).using(fmt).createOrReplace()
             return
-        except Exception:  # noqa: BLE001 - V2SessionCatalog: no RTAS
-            pass
+        except Exception as e:  # noqa: BLE001
+            # ONLY the capability gap falls through to v1 (the
+            # V2SessionCatalog's no-RTAS). A transient V2 failure on a
+            # catalog that DOES support atomic replace must surface —
+            # silently retrying through drop-and-recreate saveAsTable
+            # would forfeit the snapshot-swap guarantee and re-execute
+            # the upstream plan.
+            if not _is_v2_capability_gap(e):
+                raise
+        if not spark.catalog.tableExists(ref):
+            # Not in the catalog, but the default managed LOCATION may
+            # hold leftovers (an in-memory catalog does not outlive the
+            # JVM while spark.sql.warehouse.dir does); creating over a
+            # non-empty location throws, so a rebuild-after-restart
+            # would crash instead of rebuilding. Real catalogs
+            # (Hive/Iceberg) never hit this branch on restart because
+            # tableExists is durable there.
+            _remove_stale_managed_location(spark, ref)
         df.write.format(fmt).mode("overwrite").saveAsTable(ref)
     elif mode == "append":
-        spark = df.sparkSession
         if spark.catalog.tableExists(ref):
             try:
                 df.writeTo(ref).append()
                 return
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception as e:  # noqa: BLE001
+                if not _is_v2_capability_gap(e):
+                    raise
         df.write.format(fmt).mode("append").saveAsTable(ref)
     else:
         raise ValueError(f"unsupported mode: {mode!r}")
+
+
+def _is_v2_capability_gap(e: Exception) -> bool:
+    """True when the V2 writer failed because the catalog lacks the
+    operation (fall back to v1), False for genuine write errors."""
+    msg = str(e)
+    return (
+        "UNSUPPORTED_FEATURE" in msg
+        or "does not support" in msg
+        or "Cannot write into v1 table" in msg
+    )
+
+
+def _remove_stale_managed_location(spark: SparkSession, ref: str) -> None:
+    """Best-effort cleanup of a LOCAL default managed-table location
+    for a table the catalog does not know (see write_table). Only the
+    1/2-part session-catalog layouts are derivable; anything else (3-
+    part refs, non-file warehouses) is left alone."""
+    import shutil
+    from urllib.parse import urlparse
+
+    parts = ref.split(".")
+    if len(parts) > 2:
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file") or not wh.path:
+        return
+    if len(parts) == 1:
+        loc = os.path.join(wh.path, parts[0].lower())
+    else:
+        loc = os.path.join(wh.path, f"{parts[0].lower()}.db", parts[1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def drop_table(spark: SparkSession, ref: str) -> None:

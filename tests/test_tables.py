@@ -160,3 +160,38 @@ def test_run_linkage_with_table_checkpoints(spark, ns, tmp_path):
 def test_table_checkpoint_rejects_path_prefix(spark):
     with pytest.raises(ValueError):
         TableStageCheckpoint(spark, "/tmp/not/a/table")
+
+
+def test_is_table_ref_rejects_data_filenames():
+    """A bare relative filename like persons.parquet is a PATH even
+    though it parses as a 2-part identifier — submit_job inputs must
+    not get routed into the catalog."""
+    assert not is_table_ref("persons.parquet")
+    assert not is_table_ref("out.CSV")
+    assert not is_table_ref("d.jsonl")
+    assert is_table_ref("nmsck.deploy")  # not a file extension
+
+
+def test_overwrite_recovers_from_stale_warehouse_location(spark, ns):
+    """An in-memory catalog does not outlive the JVM but the warehouse
+    dir does: a rebuild against a leftover managed location must clean
+    it and succeed instead of dying with LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, f"{ns}.db", "stale_t")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    ref = f"{ns}.stale_t"
+    ensure_namespace(spark, ref)
+    assert not spark.catalog.tableExists(ref)
+    write_table(spark.range(7), ref)
+    assert spark.table(ref).count() == 7
+
+
+def test_table_checkpoint_rejects_manifest_stage(spark, ns):
+    ckpt = TableStageCheckpoint(spark, f"{ns}.r")
+    with pytest.raises(ValueError):
+        ckpt.run_stage("manifest", lambda: spark.range(1))

@@ -518,7 +518,7 @@ def inflate_corpus_input(sf_dir: str, k: int) -> str:
     per-copy variation every stage does full work on K x the rows."""
     import pandas as pd
 
-    out = CACHE / f"corpus_sf01_x{k}"
+    out = CACHE / f"corpus_{Path(sf_dir).name}_x{k}"
     if (out / "documents.parquet").exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -593,7 +593,7 @@ def inflate_crawl_input(sf_dir: str, k: int) -> str:
     stages."""
     import pandas as pd
 
-    out = CACHE / f"crawl_sf01_x{k}"
+    out = CACHE / f"crawl_{Path(sf_dir).name}_x{k}"
     if (out / "customer.parquet").exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
