@@ -2214,6 +2214,19 @@ FROM corpus
 TXT_PII_SQL = _pii_sql()
 
 
+def wp_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus stats (operators/web.py::domain_stats) over the
+    shared messy-URL fixture: the table a domain-mixing / per-site
+    capping policy reads. Case-varied hosts and www prefixes must fold
+    into one host row; ports must NOT leak into the host."""
+    from .operators.web import domain_stats
+
+    return domain_stats(_messy_urls(spark, sf_dir))
+
+
+
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 53 == 0)
@@ -2846,6 +2859,14 @@ def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks."""
     from .operators.web import url_dedup_groups
 
+    return url_dedup_groups(_messy_urls(spark, sf_dir))
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared messy-crawl-URL fixture (one url per person id, with
+    deterministic case/port/tracker/percent-encoding variations);
+    consumed by wp_url_canon and wp_domain_stats, mirrored in SQL by
+    _DDB_RAW_URLS."""
     p = persons_a(spark, sf_dir).select("id")
     g = F.col("id") % 300
     url = F.concat(
@@ -2873,7 +2894,7 @@ def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") % 5 == 2, F.lit("&c=%3f")).otherwise(F.lit("&c=%3F")),
         F.when(F.col("id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    return url_dedup_groups(p.select(url.alias("url")))
+    return p.select(url.alias("url"))
 
 
 # One matched %XX token -> normalized form (unreserved decodes,
@@ -2888,9 +2909,9 @@ _DDB_TRACKER_RE = (
     "^(utm_[^=]*|fbclid|gclid|gclsrc|ref|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
 )
 
-WP_URL_CANON_SQL = f"""
-WITH pa AS ({PERSONS_A_SQL}),
-raw AS (
+# The messy-URL fixture in SQL — the DuckDB twin of harness._messy_urls;
+# shared by WP_URL_CANON_SQL and WP_DOMAIN_STATS_SQL.
+_DDB_RAW_URLS = """
   SELECT
     (CASE WHEN id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
     || (CASE WHEN id % 3 = 0 THEN 'WWW.' ELSE '' END)
@@ -2908,6 +2929,12 @@ raw AS (
     || (CASE WHEN id % 5 = 2 THEN '&c=%3f' ELSE '&c=%3F' END)
     || (CASE WHEN id % 5 = 0 THEN '#sec' ELSE '' END) AS url
   FROM pa
+"""
+
+WP_URL_CANON_SQL = f"""
+WITH pa AS ({PERSONS_A_SQL}),
+raw AS (
+  {_DDB_RAW_URLS}
 ),
 c1 AS (
   SELECT url,
@@ -2970,6 +2997,26 @@ canon AS (
 )
 SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls, min(raw_url) AS keep_url
 FROM canon GROUP BY canonical HAVING count(*) >= 2
+"""
+
+
+WP_DOMAIN_STATS_SQL = f"""
+WITH RECURSIVE pa AS ({PERSONS_A_SQL}),
+raw AS (
+{_DDB_RAW_URLS}
+),
+h AS (
+  SELECT url,
+    regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+      '^www\\.', '') AS host
+  FROM raw
+)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM h WHERE host <> ''
+GROUP BY host
 """
 
 
@@ -3595,6 +3642,7 @@ QUERIES.update(
         "wp_linkage_pairs": wp_linkage_pairs,
         "wp_stream_linkage": wp_stream_linkage,
         "wp_url_canon": wp_url_canon,
+        "wp_domain_stats": wp_domain_stats,
         "wp_text_extract": wp_text_extract,
         "wp_crawl_e2e": wp_crawl_e2e,
         "lk_overlap_stats": lk_overlap_stats,
@@ -3609,6 +3657,7 @@ ORACLES.update(
         "wp_linkage_pairs": LK_ALGO1_SQL,
         "wp_stream_linkage": LK_FUZZY_SQL,
         "wp_url_canon": WP_URL_CANON_SQL,
+        "wp_domain_stats": WP_DOMAIN_STATS_SQL,
         "wp_text_extract": WP_TEXT_EXTRACT_SQL,
         "wp_crawl_e2e": WP_CRAWL_SQL,
         "lk_overlap_stats": LK_OVERLAP_SQL,

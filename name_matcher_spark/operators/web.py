@@ -359,3 +359,38 @@ def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
         pass_ext.alias("pass_ext"),
         (pass_scheme & pass_host & pass_ext).alias("keep"),
     )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", ts_col: str | None = None
+) -> DataFrame:
+    """Per-host corpus statistics — the table a domain-mixing /
+    domain-capping policy reads (how many fetches and distinct pages
+    each site contributes, and with ``ts_col`` the crawl-freshness
+    window): (host, n_fetches, n_urls[, first_ts, last_ts]).
+
+    Host = lowercased authority of the raw URL with a leading ``www.``
+    fold (the coarse grouping policies use; full canonicalization is
+    `canonical_url`'s job). Rows whose URL has no parseable authority
+    are dropped — they cannot be attributed to a site. One shuffle on
+    the host key with map-side partial aggregation; at crawl scale a
+    host hot enough to skew this shuffle is exactly the host the
+    policy wants to see, and AQE splits it.
+    """
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    base = df.select(
+        host.alias("host"), F.col(url_col).alias("_u"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+    ).where(F.col("host") != "")
+    aggs = [
+        F.count("*").alias("n_fetches"),
+        F.countDistinct("_u").alias("n_urls"),
+    ]
+    if ts_col:
+        aggs += [F.min("_ts").alias("first_ts"), F.max("_ts").alias("last_ts")]
+    return base.groupBy("host").agg(*aggs)

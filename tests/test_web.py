@@ -270,3 +270,34 @@ def test_url_filter_verdicts(spark):
     assert not rows[urls[5]].pass_host
     assert rows[urls[6]].keep and rows[urls[6]].ext == "php"
     assert not rows[urls[7]].keep and rows[urls[7]].scheme == ""
+
+
+def test_domain_stats(spark):
+    from name_matcher_spark.operators.web import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            ("http://A.Example/p1",),
+            ("HTTP://www.a.example:80/p2",),   # case + www + port fold together
+            ("https://b.example/p1",),
+            ("https://b.example/p1",),          # duplicate fetch of the same url
+            ("not a url",),                     # unattributable -> dropped
+            (None,),
+        ],
+        "url string",
+    )
+    rows = {r.host: r for r in domain_stats(df).collect()}
+    assert set(rows) == {"a.example", "b.example"}
+    assert rows["a.example"].n_fetches == 2 and rows["a.example"].n_urls == 2
+    assert rows["b.example"].n_fetches == 2 and rows["b.example"].n_urls == 1
+
+
+def test_domain_stats_ts_window(spark):
+    from name_matcher_spark.operators.web import domain_stats
+
+    df = spark.createDataFrame(
+        [("http://a.example/p", 10), ("http://a.example/q", 30)],
+        "url string, ts long",
+    )
+    r = domain_stats(df, ts_col="ts").collect()[0]
+    assert r.first_ts == 10 and r.last_ts == 30
