@@ -41,26 +41,27 @@ public class NmsDoubleMetaphone implements UDF1<String, String> {
     for (int i = 0; i < d.length(); ) {
       int cp = d.codePointAt(i);
       i += Character.charCount(cp);
-      // Python lowers PER-CODEPOINT (ch.lower()), context-free.
-      String low = new String(Character.toChars(cp)).toLowerCase(Locale.ROOT);
-      for (int j = 0; j < low.length(); ) {
-        int lc = low.codePointAt(j);
-        j += Character.charCount(lc);
-        if (lc < 128 && ((lc >= 'a' && lc <= 'z'))) {
-          out.appendCodePoint(lc);
-        } else if (lc < 128 && isAsciiPySpace(lc)) {
-          if (out.length() > 0 && out.charAt(out.length() - 1) != ' ') {
-            out.append(' ');
-          }
-        } else if (lc == 0xDF) {          // ß
-          out.append("ss");
-        } else if (lc == 0xE6 || lc == 0x1FD) {  // æ, ǽ
-          out.append("ae");
-        } else if (lc == 0xF8) {          // ø
-          out.append("o");
-        } else if (lc == 0x111) {         // đ
-          out.append("d");
+      // Python lowers PER-CODEPOINT (ch.lower()), context-free —
+      // via the shared CPython-generated Unicode-14 table, NOT
+      // String.toLowerCase (Java 17 ships Unicode 13 tables). The
+      // sole 1:N map, U+0130 -> 'i' + U+0307, reduces to 'i' here:
+      // the combining dot is non-ASCII/non-special, so the sieve
+      // below would drop it regardless.
+      int lc = (cp == 0x130) ? 'i' : NmsLowerTable.lower(cp);
+      if (lc >= 'a' && lc <= 'z') {
+        out.appendCodePoint(lc);
+      } else if (lc < 128 && isAsciiPySpace(lc)) {
+        if (out.length() > 0 && out.charAt(out.length() - 1) != ' ') {
+          out.append(' ');
         }
+      } else if (lc == 0xDF) {          // ß
+        out.append("ss");
+      } else if (lc == 0xE6 || lc == 0x1FD) {  // æ, ǽ
+        out.append("ae");
+      } else if (lc == 0xF8) {          // ø
+        out.append("o");
+      } else if (lc == 0x111) {         // đ
+        out.append("d");
       }
     }
     int end = out.length();

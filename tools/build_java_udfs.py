@@ -29,6 +29,20 @@ Table regeneration (only needed on a CPython minor-version bump):
   cased() on non-CI codepoints, so the two tables fully determine
   CPython's sigma folding. Collapse each set to flat
   [lo, hi, ...] ranges and paste into the Java source.
+
+* NmsLowerTable.KEYS/VALS — CPython's full per-codepoint lowercase
+  map, so the kernels never call String.toLowerCase (Java 17 =
+  Unicode 13 tables, CPython 3.11 = Unicode 14; e.g. U+10570
+  Vithkuqi lowers in CPython but not in Java 17)::
+
+      for cp in range(0x110000):
+          if 0xD800 <= cp <= 0xDFFF: continue
+          l = chr(cp).lower()
+          if l != chr(cp) and len(l) == 1:
+              keys.append(cp); vals.append(ord(l))
+
+  The single len(l) != 1 mapping (U+0130 -> U+0069 U+0307) is
+  special-cased at both call sites instead of tabled.
 """
 
 from __future__ import annotations
