@@ -1136,7 +1136,7 @@ def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(from_tbl: str = "documents") -> str:
     hash_cols = ",\n    ".join(
         f"min(md5(gram || ':{i}')) AS h{i}" for i in range(8)
     )
@@ -1147,7 +1147,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH docs2 AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-  FROM documents
+  FROM {from_tbl}
 ),
 offsets AS (
   SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
@@ -1455,7 +1455,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(from_tbl: str = "documents") -> str:
     nbits = 60
     digit = "strpos('0123456789abcdef', substr(h16, {j}, 1)) - 1"
     h_terms = " + ".join(
@@ -1477,7 +1477,7 @@ def _simhash_sql() -> str:
     return f"""
 WITH docs2 AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-  FROM documents
+  FROM {from_tbl}
 ),
 offsets AS (
   SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 3)) AS i
@@ -1512,8 +1512,148 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 DD_SIMHASH_SQL = _simhash_sql()
 
 
+def dd_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified dedup RETRIEVAL quality (the mechanism-parity
+    queries dd_minhash_bands / dd_simhash check that the bucket sets
+    match the oracle; this one checks that the buckets actually FIND
+    planted near-duplicates).
+
+    Every doc_id % 10 == 0 gets a planted variant (id + 200000) whose
+    leading (doc_id % 8) * 10 percent of characters are cut — a
+    deterministic overlap ladder spanning exact-dup down to ~0.3
+    Jaccard (a suffix's gram set is ~a subset, so Jaccard ~ 1 - cut),
+    putting real positives on BOTH sides of the truth threshold. Ground truth = planted pairs with exact 5-gram Jaccard
+    >= 0.6 (ngram_jaccard_pairs in candidates mode — exact, no
+    doc-freq cut). Reports, per method over the extended corpus:
+    candidate volume, truth size, covered truth, recall@0.6 — the
+    band/row (4x2 minhash) and hamming<=3 (simhash) operating points.
+    Mirrors lk_blocking_quality's shape for blocking strategies."""
+    from .operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_dupes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    src = d.filter(F.col("doc_id") % 10 == 0)
+    cut = F.floor((F.col("doc_id") % 8) * F.length("text") / 10).cast("int")
+    variants = src.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.col("text").substr(cut + 1, F.length("text")).alias("text"),
+    )
+    ext = d.unionByName(variants)
+    planted = src.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    truth = ngram_jaccard_pairs(
+        ext, candidates=planted, k=5, threshold=0.6
+    ).select("id_a", "id_b")
+    mh = minhash_lsh_candidates(
+        ext, k=5, num_hashes=8, bands=4, hash_fn="md5"
+    ).select("id_a", "id_b")
+    sh = simhash_near_dupes(ext, k=4, max_hamming=3, hash_fn="md5_60").select(
+        "id_a", "id_b"
+    )
+
+    def _stats(method: str, cand: DataFrame) -> DataFrame:
+        nt = truth.agg(F.count("*").alias("n_truth"))
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        cov = truth.join(cand, ["id_a", "id_b"], "leftsemi").agg(
+            F.count("*").alias("n_covered")
+        )
+        return (
+            nt.crossJoin(nc)
+            .crossJoin(cov)
+            .select(
+                F.lit(method).alias("method"),
+                "n_truth",
+                "n_candidates",
+                "n_covered",
+                F.round(F.col("n_covered") / F.col("n_truth"), 6).alias("recall"),
+            )
+        )
+
+    return _stats("minhash_b4r2", mh).unionByName(_stats("simhash_h3", sh))
+
+
+# Planted-variant corpus shared by truth and both candidate
+# generators; the generators are re-targeted at it via from_tbl.
+DD_RECALL_SQL = f"""
+WITH ext AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+    substr(text, CAST(floor((doc_id % 8) * length(text) / 10) AS INT) + 1)
+  FROM documents WHERE doc_id % 10 = 0
+),
+planted AS (
+  SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+docs5 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM ext
+),
+off5 AS (
+  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
+  FROM docs5 WHERE strlen(t) >= 5
+),
+g5 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM off5),
+sz AS (SELECT doc_id, count(*) AS n FROM g5 GROUP BY doc_id),
+tr_inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM planted p
+  JOIN g5 a ON a.doc_id = p.id_a
+  JOIN g5 b ON b.doc_id = p.id_b AND b.gram = a.gram
+  GROUP BY p.id_a, p.id_b
+),
+truth AS MATERIALIZED (
+  SELECT i.id_a, i.id_b
+  FROM tr_inter i
+  JOIN sz na ON na.doc_id = i.id_a
+  JOIN sz nb ON nb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.6
+),
+mh AS MATERIALIZED ({_minhash_sql("ext")}),
+sh AS MATERIALIZED ({_simhash_sql("ext")}),
+mh_stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth t
+           WHERE EXISTS (SELECT 1 FROM mh c
+                          WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_covered
+),
+sh_stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth t
+           WHERE EXISTS (SELECT 1 FROM sh c
+                          WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_covered
+)
+SELECT 'minhash_b4r2' AS method, n_truth, n_candidates, n_covered,
+  round(CAST(n_covered AS DOUBLE) / n_truth, 6) AS recall
+FROM mh_stats
+UNION ALL
+SELECT 'simhash_h3', n_truth, n_candidates, n_covered,
+  round(CAST(n_covered AS DOUBLE) / n_truth, 6)
+FROM sh_stats
+"""
+
+
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_metrics(_docs(spark, sf_dir))
+    """Per-doc quality signals PLUS the Gopher-style repetition
+    signals (operators/text.py quality_metrics + repetition_metrics),
+    joined on doc_id over the corpus extended with the planted
+    repetition edge-case docs — one oracle row covers both operator
+    families. repetition's own n_tokens duplicates quality's and is
+    dropped from the join."""
+    from .operators.text import repetition_metrics
+
+    extra = spark.createDataFrame(REPETITION_EXTRA_DOCS, "doc_id long, text string")
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    q = quality_metrics(corpus)
+    r = repetition_metrics(corpus).drop("n_tokens")
+    return q.join(r, "doc_id")
 
 
 def _quality_sql(from_tbl: str = "documents") -> str:
@@ -1539,7 +1679,8 @@ FROM {from_tbl}
 """
 
 
-TXT_QUALITY_SQL = _quality_sql()
+# TXT_QUALITY_SQL is assembled after _repetition_sql is defined (the
+# merged query joins quality and repetition signals over one corpus).
 
 
 # Non-Latin docs appended to the corpus (the parquet fixture is Latin-
@@ -1652,35 +1793,27 @@ FROM m
 TXT_LANGID_SQL = _langid_sql()
 
 
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
-
-
-TXT_FINGERPRINT_SQL = """
-SELECT doc_id,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-FROM documents
-"""
-
-
 def txt_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting plus the canonical content fingerprint
+    (operators/text.py fingerprint — the exact-dedup key exposed for
+    lineage tables), merged into one per-doc oracle row."""
     d = _docs(spark, sf_dir)
-    from .operators.text import bpe_ish_token_count
+    from .operators.text import bpe_ish_token_count, fingerprint
 
-    return d.select(
+    counts = d.select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
     )
+    return counts.join(fingerprint(d), "doc_id")
 
 
 TXT_TOKENS_SQL = """
 SELECT doc_id,
   CAST(CASE WHEN trim(text) = '' THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -1699,14 +1832,6 @@ REPETITION_EXTRA_DOCS: list[tuple[int, str]] = [
     (910006, "a b c d e a b c d e a b c d e"),
     (910007, "Line One\nline one\nLINE ONE"),
 ]
-
-
-def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import repetition_metrics
-
-    extra = spark.createDataFrame(REPETITION_EXTRA_DOCS, "doc_id long, text string")
-    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
-    return repetition_metrics(corpus)
 
 
 def _repetition_sql(corpus_body: str | None = None) -> str:
@@ -1773,7 +1898,29 @@ FROM tok t LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
 """
 
 
-TXT_REPETITION_SQL = _repetition_sql()
+# Merged quality + repetition oracle: both signal families over the
+# SAME corpus (documents + planted repetition edge cases), joined on
+# doc_id; repetition's n_tokens is dropped (duplicate of quality's).
+_REPETITION_EXTRA_VALUES = ",\n  ".join(
+    "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+    for i, t in REPETITION_EXTRA_DOCS
+)
+# Outer CTE is named qcorpus, NOT corpus: _repetition_sql's own inner
+# CTE is called corpus, and "corpus AS (... FROM corpus)" reads as a
+# recursive self-reference to DuckDB (internal planner error).
+TXT_QUALITY_SQL = f"""
+WITH qcorpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {_REPETITION_EXTRA_VALUES}
+  ) t(doc_id, text)
+),
+q AS ({_quality_sql("qcorpus")}),
+r AS ({_repetition_sql("SELECT doc_id, text FROM qcorpus")})
+SELECT q.*, r.n_lines, r.dup_line_frac, r.top_2gram_frac, r.dup_5gram_frac
+FROM q JOIN r USING (doc_id)
+"""
 
 
 # Line-dedup needs cross-document repeated LINES; the parquet fixture
@@ -2620,12 +2767,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_pipeline": dd_pipeline,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
+    "dd_recall_eval": dd_recall_eval,
     "dd_embed_neardup": dd_embed_neardup,
     "txt_quality": txt_quality,
     "txt_langid": txt_langid,
-    "txt_fingerprint": txt_fingerprint,
     "txt_token_counts": txt_token_counts,
-    "txt_repetition": txt_repetition,
     "dd_line_dedup": dd_line_dedup,
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_corpus_e2e": txt_corpus_e2e,
@@ -2668,12 +2814,11 @@ ORACLES: dict[str, str] = {
     "dd_pipeline": DD_PIPELINE_SQL,
     "dd_ngram_jaccard": DD_NGRAM_SQL,
     "dd_simhash": DD_SIMHASH_SQL,
+    "dd_recall_eval": DD_RECALL_SQL,
     "dd_embed_neardup": DD_EMBED_NEARDUP_SQL,
     "txt_quality": TXT_QUALITY_SQL,
     "txt_langid": TXT_LANGID_SQL,
-    "txt_fingerprint": TXT_FINGERPRINT_SQL,
     "txt_token_counts": TXT_TOKENS_SQL,
-    "txt_repetition": TXT_REPETITION_SQL,
     "dd_line_dedup": DD_LINE_DEDUP_SQL,
     "txt_filter_pipeline": TXT_FILTER_SQL,
     "txt_corpus_e2e": TXT_CORPUS_SQL,
@@ -3482,135 +3627,96 @@ LEFT JOIN lcomp l ON l.node = m.doc_id * 2
 """
 
 
-def lk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 vs A2 pair-set overlap (main.rs:599-605)."""
-    from .sources.export import algo_overlap_stats
-
-    pa = prepare_persons(persons_a(spark, sf_dir))
-    pb = prepare_persons(persons_b(spark, sf_dir))
-    a1 = match_algo1(pa, pb)
-    a2 = match_algo2(pa, pb)
-    return algo_overlap_stats(a1, a2)
-
-
-LK_OVERLAP_SQL = f"""
-WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
-a1 AS (
-  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
-    ON lower(a.first_name) = lower(b.first_name)
-   AND lower(a.last_name) = lower(b.last_name)
-   AND a.birthdate = b.birthdate
-),
-a2 AS (
-  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
-    ON lower(a.first_name) = lower(b.first_name)
-   AND lower(a.last_name) = lower(b.last_name)
-   AND a.birthdate = b.birthdate
-   AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
-)
-SELECT 'both' AS bucket, count(*) AS n_pairs FROM (SELECT * FROM a1 INTERSECT SELECT * FROM a2)
-UNION ALL
-SELECT 'only_first', count(*) FROM (SELECT * FROM a1 EXCEPT SELECT * FROM a2)
-UNION ALL
-SELECT 'only_second', count(*) FROM (SELECT * FROM a2 EXCEPT SELECT * FROM a1)
-"""
-
-
-def lk_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard-size histogram for both partition strategies
-    (partition.rs:18-65) — the skew-visibility companion to
-    lk_blocking_keys."""
-    from .operators.partition_strategies import birthyear5_key, last_initial_key
-
-    pa = prepare_persons(persons_a(spark, sf_dir))
-    li = pa.groupBy(
-        F.lit("last_initial").alias("strategy"),
-        last_initial_key(F.col("norm_last")).alias("part_key"),
-    ).agg(F.count("*").alias("rows"))
-    by = pa.groupBy(
-        F.lit("birthyear5").alias("strategy"),
-        birthyear5_key(F.col("birthdate")).alias("part_key"),
-    ).agg(F.count("*").alias("rows"))
-    return li.unionByName(by)
-
-
-LK_PARTITION_SQL = f"""
-WITH pa AS ({PERSONS_A_SQL})
-SELECT 'last_initial' AS strategy,
-  CASE WHEN upper(substr(trim(last_name), 1, 1)) BETWEEN 'A' AND 'Z'
-       THEN upper(substr(trim(last_name), 1, 1)) ELSE 'other' END AS part_key,
-  count(*) AS rows
-FROM pa GROUP BY 2
-UNION ALL
-SELECT 'birthyear5',
-  CASE WHEN birthdate IS NULL THEN 'unknown'
-       ELSE CAST(CAST(floor(year(birthdate) / 5) * 5 AS INT) AS VARCHAR) || '_'
-            || CAST(CAST(floor(year(birthdate) / 5) * 5 + 4 AS INT) AS VARCHAR)
-  END,
-  count(*)
-FROM pa GROUP BY 2
-"""
-
-
-def lk_date_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Algo-7 birthdate ladder (deprecated in the reference; scalar
-    function shipped for completeness, mod.rs:1118-1136) over
-    consecutive-id person pairs."""
-    from .functions.dates import birthdate_similarity_pct
-
-    pa = persons_a(spark, sf_dir).select("id", "birthdate")
-    left = pa.select(F.col("id").alias("id_1"), F.col("birthdate").alias("bd_1"))
-    right = pa.select((F.col("id") - 1).alias("id_1"), F.col("birthdate").alias("bd_2"))
-    pairs = left.join(right, "id_1")
-    return pairs.select(
-        "id_1",
-        birthdate_similarity_pct(F.col("bd_1"), F.col("bd_2")).alias("bd_pct"),
-    )
-
-
-LK_DATE_SIM_SQL = f"""
-WITH pa AS ({PERSONS_A_SQL}),
-pairs AS (
-  SELECT a.id AS id_1, a.birthdate AS bd_1, b.birthdate AS bd_2
-  FROM pa a JOIN pa b ON b.id = a.id + 1
-)
-SELECT id_1,
-  CAST(CASE
-    WHEN bd_1 = bd_2 THEN 100.0
-    WHEN abs(datediff('day', bd_2, bd_1)) = 1 THEN 90.0
-    WHEN year(bd_1) = year(bd_2) AND (
-         TRY_CAST(year(bd_1) || '-' || day(bd_1) || '-' || month(bd_1) AS DATE) = bd_2
-      OR TRY_CAST(year(bd_2) || '-' || day(bd_2) || '-' || month(bd_2) AS DATE) = bd_1
-    ) THEN 85.0
-    WHEN year(bd_1) = year(bd_2) AND month(bd_1) = month(bd_2) THEN 70.0
-    WHEN year(bd_1) = year(bd_2) THEN 50.0
-    WHEN abs(year(bd_1) - year(bd_2)) = 1 THEN 40.0
-    ELSE 0.0
-  END AS DOUBLE) AS bd_pct
-FROM pairs
-"""
-
-
 def lk_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-level KPI table (csv_export.rs:155-227) over algo1 pairs.
-    run_summary is fully distributed (stack-melted single-row aggs),
-    so the whole KPI assembly hash-checks against a DuckDB mirror."""
-    from .sources.export import run_summary
+    """Consolidated run-diagnostics query — one (metric, value) table
+    unioning four operator families so each keeps a per-round oracle
+    row inside the driver's query budget:
+
+    * run-level KPIs over algo1 pairs (csv_export.rs:155-227;
+      sources/export.py run_summary — distributed stack-melt, no
+      collect);
+    * A1 vs A2 pair-set overlap (main.rs:599-605;
+      sources/export.py algo_overlap_stats — one lazy full-outer
+      flags plan) as overlap_{both,only_first,only_second};
+    * shard-size histograms for BOTH partition strategies
+      (partition.rs:18-65; operators/partition_strategies.py) as
+      part_last_initial_K / part_birthyear5_YYYY_YYYY rows — the
+      skew-visibility companion to lk_blocking_keys;
+    * the Algo-7 birthdate ladder (mod.rs:1118-1136;
+      functions/dates.py) as a value histogram bdsim_{100,90,...,0}
+      over consecutive-id pairs, pinning every ladder rung.
+    """
+    from .functions.dates import birthdate_similarity_pct
+    from .operators.partition_strategies import birthyear5_key, last_initial_key
+    from .sources.export import algo_overlap_stats, run_summary
 
     pa_raw = persons_a(spark, sf_dir)
     pb_raw = persons_b(spark, sf_dir)
-    pairs = match_algo1(prepare_persons(pa_raw), prepare_persons(pb_raw))
-    return run_summary(pa_raw, pb_raw, pairs, threshold=0.95)
+    pa = prepare_persons(pa_raw)
+    pb = prepare_persons(pb_raw)
+    a1 = match_algo1(pa, pb)
+    a2 = match_algo2(pa, pb)
+
+    kpi = run_summary(pa_raw, pb_raw, a1, threshold=0.95)
+    overlap = algo_overlap_stats(a1, a2).select(
+        F.concat(F.lit("overlap_"), F.col("bucket")).alias("metric"),
+        F.col("n_pairs").cast("double").alias("value"),
+    )
+    li = (
+        pa.groupBy(last_initial_key(F.col("norm_last")).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("part_last_initial_"), F.col("k")).alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
+    by = (
+        pa.groupBy(birthyear5_key(F.col("birthdate")).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("part_birthyear5_"), F.col("k")).alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
+    base = pa_raw.select("id", "birthdate")
+    left = base.select(F.col("id").alias("id_1"), F.col("birthdate").alias("bd_1"))
+    right = base.select((F.col("id") - 1).alias("id_1"), F.col("birthdate").alias("bd_2"))
+    ladder = (
+        left.join(right, "id_1")
+        .select(
+            birthdate_similarity_pct(F.col("bd_1"), F.col("bd_2")).alias("bd_pct")
+        )
+        .groupBy("bd_pct")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.lit("bdsim_"),
+                F.col("bd_pct").cast("int").cast("string"),
+            ).alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
+    return kpi.unionByName(overlap).unionByName(li).unionByName(by).unionByName(ladder)
 
 
+# pa/pb AS MATERIALIZED: they feed five consumers; without it DuckDB
+# re-opens the parquet per reference and exhausts fds with a
+# misleading "could not open parquet" error.
 LK_RUN_SUMMARY_SQL = f"""
-WITH pa AS ({PERSONS_A_SQL}), pb AS ({PERSONS_B_SQL}),
-pairs AS (
+WITH pa AS MATERIALIZED ({PERSONS_A_SQL}), pb AS MATERIALIZED ({PERSONS_B_SQL}),
+pairs AS MATERIALIZED (
   SELECT a.id AS id_1, b.id AS id_2
   FROM pa a JOIN pb b
     ON lower(a.first_name) = lower(b.first_name)
    AND lower(a.last_name) = lower(b.last_name)
    AND a.birthdate = b.birthdate
+),
+a2 AS MATERIALIZED (
+  SELECT a.id AS id_1, b.id AS id_2 FROM pa a JOIN pb b
+    ON lower(a.first_name) = lower(b.first_name)
+   AND lower(a.last_name) = lower(b.last_name)
+   AND a.birthdate = b.birthdate
+   AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
 ),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_pairs,
@@ -3620,7 +3726,11 @@ stats AS (
 ),
 t1 AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM pa),
 t2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM pb),
-one AS (SELECT * FROM t1, t2, stats)
+one AS (SELECT * FROM t1, t2, stats),
+ladder AS (
+  SELECT a.birthdate AS bd1, b.birthdate AS bd2
+  FROM pa a JOIN pa b ON b.id = a.id + 1
+)
 SELECT 'table1_rows' AS metric, n1 AS value FROM one
 UNION ALL SELECT 'table2_rows', n2 FROM one
 UNION ALL SELECT 'matched_pairs', n_pairs FROM one
@@ -3633,6 +3743,30 @@ UNION ALL SELECT 'unmatched_rate_t1',
 UNION ALL SELECT 'unmatched_rate_t2',
   CASE WHEN n2 > 0 THEN round(1.0 - m2 / n2, 6) ELSE 0.0 END FROM one
 UNION ALL SELECT 'case_algo1', n_pairs FROM one
+UNION ALL SELECT 'overlap_both', CAST(count(*) AS DOUBLE)
+  FROM (SELECT * FROM pairs INTERSECT SELECT * FROM a2)
+UNION ALL SELECT 'overlap_only_first', CAST(count(*) AS DOUBLE)
+  FROM (SELECT * FROM pairs EXCEPT SELECT * FROM a2)
+UNION ALL SELECT 'overlap_only_second', CAST(count(*) AS DOUBLE)
+  FROM (SELECT * FROM a2 EXCEPT SELECT * FROM pairs)
+UNION ALL
+SELECT 'part_last_initial_' ||
+  CASE WHEN upper(substr(trim(last_name), 1, 1)) BETWEEN 'A' AND 'Z'
+       THEN upper(substr(trim(last_name), 1, 1)) ELSE 'other' END,
+  CAST(count(*) AS DOUBLE)
+FROM pa GROUP BY 1
+UNION ALL
+SELECT 'part_birthyear5_' ||
+  CASE WHEN birthdate IS NULL THEN 'unknown'
+       ELSE CAST(CAST(floor(year(birthdate) / 5) * 5 AS INT) AS VARCHAR) || '_'
+            || CAST(CAST(floor(year(birthdate) / 5) * 5 + 4 AS INT) AS VARCHAR)
+  END,
+  CAST(count(*) AS DOUBLE)
+FROM pa GROUP BY 1
+UNION ALL
+SELECT 'bdsim_' || CAST(CAST({_BD_PCT_SQL} AS INT) AS VARCHAR),
+  CAST(count(*) AS DOUBLE)
+FROM ladder GROUP BY 1
 """
 
 
@@ -3645,9 +3779,6 @@ QUERIES.update(
         "wp_domain_stats": wp_domain_stats,
         "wp_text_extract": wp_text_extract,
         "wp_crawl_e2e": wp_crawl_e2e,
-        "lk_overlap_stats": lk_overlap_stats,
-        "lk_partition_hist": lk_partition_hist,
-        "lk_date_similarity": lk_date_similarity,
         "lk_run_summary": lk_run_summary,
     }
 )
@@ -3660,9 +3791,6 @@ ORACLES.update(
         "wp_domain_stats": WP_DOMAIN_STATS_SQL,
         "wp_text_extract": WP_TEXT_EXTRACT_SQL,
         "wp_crawl_e2e": WP_CRAWL_SQL,
-        "lk_overlap_stats": LK_OVERLAP_SQL,
-        "lk_partition_hist": LK_PARTITION_SQL,
-        "lk_date_similarity": LK_DATE_SIM_SQL,
         "lk_run_summary": LK_RUN_SUMMARY_SQL,
     }
 )

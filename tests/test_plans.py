@@ -240,7 +240,7 @@ def test_new_round4_text_operators_plan_quality(spark):
     from name_matcher_spark import harness
 
     for q in (
-        harness.txt_repetition,
+        harness.txt_quality,
         harness.dd_line_dedup,
         harness.txt_filter_pipeline,
         harness.txt_corpus_e2e,
