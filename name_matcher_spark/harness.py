@@ -1699,6 +1699,15 @@ LANGID_EXTRA_DOCS: list[tuple[int, str]] = [
     (900008, "The quick brown fox and the lazy dog went to the market 中"),
     (900009, "1234 5678 ---- ????"),
     (900010, "日本国憲法第九条の規定により戦争を放棄する"),
+    # Eligibility-threshold pins (SCRIPT_MIN_FRACTION_DEN = 20, i.e.
+    # 5%): both docs have ONE Han char; the first has exactly 20
+    # non-ws chars (1 * 20 >= 20 -> script-eligible -> zh), the second
+    # 21 (ineligible -> stopword vote -> en). The denominator must be
+    # CHARACTERS — in UTF-8 bytes (DuckDB strlen) the Han char counts
+    # as 3 and both become ineligible, which is exactly the divergence
+    # these rows pin.
+    (900011, "the and of to is that abc中"),
+    (900012, "the and of to is that abcd中"),
 ]
 
 
@@ -1756,7 +1765,7 @@ WITH corpus AS (
 ),
 h AS (
   SELECT doc_id,
-    strlen(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
     {script_cols},
     {hit_cols}
   FROM corpus
@@ -2239,6 +2248,8 @@ def wp_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("id") % 5 == 1, F.lit("HTTPS://"))
         .otherwise(F.lit("http://"))
     )
+    userinfo = F.when(F.col("id") % 11 == 3, F.lit("u:p@")).otherwise(F.lit(""))
+    port = F.when(F.col("id") % 13 == 2, F.lit(":8080")).otherwise(F.lit(""))
     host = (
         F.when(F.col("id") % 4 == 0, F.lit("localhost"))
         .when(F.col("id") % 4 == 1, F.concat(F.lit("Site"), (g % 97).cast("string"), F.lit(".Example")))
@@ -2252,7 +2263,9 @@ def wp_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("id") % 6 == 4, F.lit("/files/archive.tar"))
         .otherwise(F.lit("/doc.php?x=1.css"))
     )
-    return url_filter(p.select(F.concat(scheme, host, path).alias("url")))
+    return url_filter(
+        p.select(F.concat(scheme, userinfo, host, port, path).alias("url"))
+    )
 
 
 def _url_filter_sql() -> str:
@@ -2265,9 +2278,11 @@ urls AS (
   SELECT
     (CASE WHEN id % 5 = 0 THEN 'ftp://'
           WHEN id % 5 = 1 THEN 'HTTPS://' ELSE 'http://' END)
+    || (CASE WHEN id % 11 = 3 THEN 'u:p@' ELSE '' END)
     || (CASE WHEN id % 4 = 0 THEN 'localhost'
              WHEN id % 4 = 1 THEN 'Site' || CAST((id % 300) % 97 AS VARCHAR) || '.Example'
              ELSE 'site' || CAST((id % 300) % 97 AS VARCHAR) || '.example' END)
+    || (CASE WHEN id % 13 = 2 THEN ':8080' ELSE '' END)
     || (CASE WHEN id % 6 = 0 THEN '/assets/app.css'
              WHEN id % 6 = 1 THEN '/img/logo.PNG'
              WHEN id % 6 = 2 THEN '/index.html'
@@ -2279,7 +2294,9 @@ urls AS (
 parts AS (
   SELECT url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^[^@]*@', ''), ':[0-9]+$', '') AS host,
     lower(regexp_extract(
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       '\\.([A-Za-z0-9]{{1,5}})$', 1)) AS ext
@@ -3016,6 +3033,8 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.col("id") % 300
     url = F.concat(
         F.when(F.col("id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        # userinfo must be stripped before host parsing
+        F.when(F.col("id") % 12 == 5, F.lit("u:p@")).otherwise(F.lit("")),
         F.when(F.col("id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.lit("Site"), (g % 97).cast("string"), F.lit(".Example"),
         F.when(F.col("id") % 7 == 0, F.lit(":8080"))
@@ -3034,6 +3053,8 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id") % 2 == 1,
             F.concat(F.lit("&fbclid=click"), (F.col("id") % 11).cast("string")),
         ).otherwise(F.lit("")),
+        # 'ref' is NOT a tracker (functional param) — these variants
+        # must keep it and split from the ref-less group.
         F.when(F.col("id") % 10 == 7, F.lit("&ref=nl")).otherwise(F.lit("")),
         # lowercase reserved hex normalizes to the %3F spelling
         F.when(F.col("id") % 5 == 2, F.lit("&c=%3f")).otherwise(F.lit("&c=%3F")),
@@ -3051,7 +3072,7 @@ _DDB_PCT_CASE = f"""CASE
       THEN chr({_DDB_PCT_CODE}) ELSE upper(e) END"""
 
 _DDB_TRACKER_RE = (
-    "^(utm_[^=]*|fbclid|gclid|gclsrc|ref|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
+    "^(utm_[^=]*|fbclid|gclid|gclsrc|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
 )
 
 # The messy-URL fixture in SQL — the DuckDB twin of harness._messy_urls;
@@ -3059,6 +3080,7 @@ _DDB_TRACKER_RE = (
 _DDB_RAW_URLS = """
   SELECT
     (CASE WHEN id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+    || (CASE WHEN id % 12 = 5 THEN 'u:p@' ELSE '' END)
     || (CASE WHEN id % 3 = 0 THEN 'WWW.' ELSE '' END)
     || 'Site' || CAST((id % 300) % 97 AS VARCHAR) || '.Example'
     || (CASE WHEN id % 7 = 0 THEN ':8080'
@@ -3090,7 +3112,8 @@ c1 AS (
 ),
 c2 AS (
   SELECT url, s, rest,
-    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                   '^[^@]*@', '') AS hostport
   FROM c1
 ),
 c3 AS (
@@ -3152,8 +3175,9 @@ raw AS (
 ),
 h AS (
   SELECT url,
-    regexp_replace(
-      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^[^@]*@', ''), ':[0-9]+$', ''),
       '^www\\.', '') AS host
   FROM raw
 )

@@ -130,13 +130,29 @@ def write_table(
 
 
 def _is_v2_capability_gap(e: Exception) -> bool:
-    """True when the V2 writer failed because the catalog lacks the
-    operation (fall back to v1), False for genuine write errors."""
+    """True when the V2 writer failed because the CATALOG lacks the
+    table operation (fall back to v1), False for genuine write errors.
+
+    Deliberately narrow: a bare "does not support" substring also
+    appears in real V2 write failures (unsupported column type,
+    partition transform...), and treating those as capability gaps
+    would silently demote an atomic snapshot-swap write to the
+    non-atomic drop-and-recreate path. Only the operation-level
+    signals qualify: the UNSUPPORTED_FEATURE.TABLE_OPERATION error
+    condition, the v1-table redirect, and the V2SessionCatalog's
+    "Table does not support <op>" capability message."""
+    import re
+
     msg = str(e)
     return (
-        "UNSUPPORTED_FEATURE" in msg
-        or "does not support" in msg
+        "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg
         or "Cannot write into v1 table" in msg
+        or re.search(
+            r"[Tt]able [^\n]*does not support (append|truncate|overwrite|"
+            r"dynamic overwrite|batch write)",
+            msg,
+        )
+        is not None
     )
 
 

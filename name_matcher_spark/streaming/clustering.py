@@ -148,9 +148,19 @@ def incremental_clusters(
 
 def read_clusters(spark, labels_dir: str) -> DataFrame:
     """Decode the store back to the (side, id, cluster_id) contract of
-    ``cluster_pairs``."""
-    recover_store(labels_dir)
-    return spark.read.parquet(labels_dir).select(
+    ``cluster_pairs``.
+
+    The parquet scan is MATERIALIZED (localCheckpoint) while the store
+    lock is held: a lazy scan returned to the caller would read the
+    files after the lock is released, and a concurrent writer's
+    rename + rmtree of the superseded store could delete them under
+    the in-flight job (a loud failure, not corruption — but the lock
+    exists to rule it out). The returned DataFrame is therefore
+    self-contained: it never touches ``labels_dir`` again."""
+    with _store_lock(labels_dir):
+        _recover_store_locked(labels_dir)
+        snapshot = spark.read.parquet(labels_dir).localCheckpoint(eager=True)
+    return snapshot.select(
         F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
         F.floor(F.col("node") / 2).cast("long").alias("id"),
         F.col("cluster_id"),
