@@ -2656,20 +2656,24 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: deterministic BMP images / WAV audio are
-    synthesized per doc_id (closed-form pixel/sample values), serialized
-    to actual file bytes, then parsed back by the pure-numpy decoders in
-    operators/multimodal.py inside mapInPandas. The DuckDB twin computes
-    the expected pixel/sample statistics straight from the generative
-    formula — so the byte-level parse (headers, padding, bottom-up rows,
-    chunk walk) is what the hash check exercises. No rounding on either
-    side: all arithmetic is exact-integer-in-double plus one
-    correctly-rounded sqrt, so the doubles are bit-identical."""
+    """REAL multimodal decode: deterministic BMP/PNG images / WAV audio
+    are synthesized per doc_id (closed-form pixel/sample values),
+    serialized to actual file bytes, then parsed back by the pure-numpy
+    decoders in operators/multimodal.py inside mapInPandas. The DuckDB
+    twin computes the expected pixel/sample statistics straight from the
+    generative formula — so the byte-level parse (headers, padding,
+    bottom-up rows, chunk walks, and for PNG the zlib inflate + scanline
+    unfiltering: filter_seed=media_id cycles all five filter types
+    across rows and splits IDAT in two) is what the hash check
+    exercises. No rounding on either side: all arithmetic is
+    exact-integer-in-double plus one correctly-rounded sqrt, so the
+    doubles are bit-identical."""
     import numpy as np
     import pandas as pd
 
     from .operators.multimodal import (
         encode_bmp,
+        encode_png,
         encode_wav,
         extract_decoded_features,
     )
@@ -2681,7 +2685,7 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     w, h = 4 + mid % 5, 3 + mid % 4
                     y, x = np.mgrid[0:h, 0:w]
                     px = np.stack(
@@ -2693,12 +2697,26 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         axis=-1,
                     ).astype(np.uint8)
                     rows.append((mid, "image/bmp", encode_bmp(px)))
-                else:
+                elif mid % 3 == 1:
                     n = 64 + mid % 64
                     rate = 8000 + (mid % 4) * 4000
                     i = np.arange(n)
                     v = ((31 * mid + 17 * i) % 65536 - 32768).astype(np.int16)
                     rows.append((mid, "audio/wav", encode_wav(v, rate)))
+                else:
+                    w, h = 3 + mid % 6, 2 + mid % 5
+                    y, x = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (17 * mid + 3 * x + 2 * y) % 256,
+                            (5 * mid + 2 * x + 7 * y) % 256,
+                            (23 * mid + x + y) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    rows.append(
+                        (mid, "image/png", encode_png(px, filter_seed=mid))
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "mime", "content"])
 
     media = d.mapInPandas(gen, "media_id long, mime string, content binary")
@@ -2708,7 +2726,7 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_DECODE_SQL = """
 WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
 bmp AS (SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
-        FROM m WHERE media_id % 2 = 0),
+        FROM m WHERE media_id % 3 = 0),
 bx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM bmp),
 bxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM bx),
 bstats AS (
@@ -2719,9 +2737,21 @@ bstats AS (
     avg(CAST((7 * media_id + 3 * x + 5 * y) % 256 AS DOUBLE)) AS f3
   FROM bxy GROUP BY media_id
 ),
+png AS (SELECT media_id, 3 + media_id % 6 AS w, 2 + media_id % 5 AS h
+        FROM m WHERE media_id % 3 = 2),
+px AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM png),
+pxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+pstats AS (
+  SELECT media_id, 'image/png' AS mime,
+    CAST(min(w) AS BIGINT) AS d1, CAST(min(h) AS BIGINT) AS d2,
+    avg(CAST((17 * media_id + 3 * x + 2 * y) % 256 AS DOUBLE)) AS f1,
+    avg(CAST((5 * media_id + 2 * x + 7 * y) % 256 AS DOUBLE)) AS f2,
+    avg(CAST((23 * media_id + x + y) % 256 AS DOUBLE)) AS f3
+  FROM pxy GROUP BY media_id
+),
 wav AS (SELECT media_id, 64 + media_id % 64 AS n,
                8000 + (media_id % 4) * 4000 AS rate
-        FROM m WHERE media_id % 2 = 1),
+        FROM m WHERE media_id % 3 = 1),
 wi AS (SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM wav),
 wv AS (SELECT media_id, n, rate,
          CAST((31 * media_id + 17 * i) % 65536 - 32768 AS DOUBLE) AS v
@@ -2734,7 +2764,8 @@ wstats AS (
     avg(v) / 32768.0 AS f3
   FROM wv GROUP BY media_id
 )
-SELECT * FROM bstats UNION ALL SELECT * FROM wstats
+SELECT * FROM bstats UNION ALL SELECT * FROM pstats
+UNION ALL SELECT * FROM wstats
 """
 
 

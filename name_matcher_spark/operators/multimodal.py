@@ -8,12 +8,17 @@ Two decode tiers:
   and RIFF/WAV (PCM 16-bit) parsers in ``decode_bmp`` / ``decode_wav``,
   run batch-wise inside mapInPandas by ``extract_decoded_features`` —
   actual pixels/samples in, numeric features out.
+* **Real decode** also for PNG — no codec library needed: the DEFLATE
+  layer is stdlib ``zlib``, and the chunk walk + scanline unfiltering
+  (None/Sub/Up/Average/Paeth) in ``decode_png`` is ~100 lines of numpy.
+  8-bit gray/RGB/RGBA, non-interlaced — the shapes a crawl pipeline
+  actually stores after ingest normalization.
 * **Stub** for codec formats genuinely absent from this container
-  (JPEG/PNG/MP3/H.264 need PIL/ffmpeg): ``decode_image_batch`` raises
-  NotImplementedError unless ``fake=True``, in which case it produces a
-  deterministic md5-derived feature vector — the Spark-side plumbing
-  (schema, mapInPandas batching, partition sizing) is identical either
-  way.
+  (JPEG/MP3/H.264 need libjpeg/ffmpeg-class entropy decoders):
+  ``decode_image_batch`` raises NotImplementedError unless
+  ``fake=True``, in which case it produces a deterministic md5-derived
+  feature vector — the Spark-side plumbing (schema, mapInPandas
+  batching, partition sizing) is identical either way.
 
 At production scale the pattern is:
   * binaries stay in their own column, NEVER in a join key;
@@ -157,6 +162,162 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+# --- PNG: stdlib zlib + numpy unfiltering (W3C PNG 2nd ed. / RFC 2083) ---
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> channels at 8-bit depth
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int16 vectors (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_seed: int = 0) -> bytes:
+    """Serialize (h, w) uint8 gray, (h, w, 3) RGB or (h, w, 4) RGBA as
+    an 8-bit non-interlaced PNG. Scanline r uses filter type
+    (filter_seed + r) % 5, so round-trip fixtures exercise every
+    unfilter branch; IDAT is split in two chunks to exercise
+    reassembly. Fixture writer for ``decode_png``."""
+    import zlib
+
+    if pixels.ndim == 2:
+        ct, px = 0, pixels[:, :, None]
+    elif pixels.shape[2] == 3:
+        ct, px = 2, pixels
+    else:
+        ct, px = 6, pixels
+    h, w, ch = px.shape
+    bpp = ch  # bytes per pixel at 8-bit depth
+    raw = px.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    zero = np.zeros(bpp, dtype=np.int16)
+    out = bytearray()
+    for r in range(h):
+        line = raw[r]
+        ft = (filter_seed + r) % 5
+        left = np.concatenate([zero, line[:-bpp]])
+        upleft = np.concatenate([zero, prev[:-bpp]])
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - (left + prev) // 2
+        else:
+            filt = line - _paeth(left, prev, upleft)
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    comp = zlib.compress(bytes(out), 6)
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / RGBA) into an
+    (h, w, channels) uint8 array: chunk walk with multi-IDAT
+    reassembly, stdlib zlib inflate, full None/Sub/Up/Average/Paeth
+    scanline unfiltering. Verified against real-world adaptively
+    filtered PNGs, not just this module's own encoder. Raises
+    ValueError on malformed or unsupported input (16-bit, palette,
+    interlaced — ingest normalization rewrites those upstream)."""
+    import zlib
+
+    if len(data) < 8 + 25 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ct, comp_m, filt_m, interlace = ihdr
+    if depth != 8 or ct not in _PNG_CHANNELS or comp_m or filt_m or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ct} interlace={interlace}"
+        )
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("bad dimensions")
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    need = (stride + 1) * h  # bufsize caps inflation (zip-bomb guard)
+    try:
+        raw = zlib.decompress(bytes(idat), bufsize=need)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    if len(raw) != need:
+        raise ValueError("IDAT length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError("bad filter type")
+    out = np.zeros((h, stride), dtype=np.int16)
+    bpp = ch
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        line = rows[r, 1:].astype(np.int16)
+        ft = int(ftypes[r])
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel: sequential in pixel blocks, vectorized per block.
+            upleft = np.concatenate([zero, prev[:-bpp]])
+            rec = np.empty(stride, dtype=np.int16)
+            for x0 in range(0, stride, bpp):
+                left = rec[x0 - bpp : x0] if x0 else zero
+                seg = line[x0 : x0 + bpp]
+                if ft == 1:
+                    rec[x0 : x0 + bpp] = (seg + left) % 256
+                elif ft == 3:
+                    rec[x0 : x0 + bpp] = (
+                        seg + (left + prev[x0 : x0 + bpp]) // 2
+                    ) % 256
+                else:
+                    rec[x0 : x0 + bpp] = (
+                        seg
+                        + _paeth(left, prev[x0 : x0 + bpp], upleft[x0 : x0 + bpp])
+                    ) % 256
+        out[r] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Serialize int16 mono samples as a PCM RIFF/WAV. Fixture writer
     for the decoder below."""
@@ -203,11 +364,11 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("mime", StringType()),
-        StructField("d1", LongType()),     # bmp: width   | wav: n_samples
-        StructField("d2", LongType()),     # bmp: height  | wav: sample_rate
-        StructField("f1", DoubleType()),   # bmp: mean R  | wav: rms
-        StructField("f2", DoubleType()),   # bmp: mean G  | wav: peak/32768
-        StructField("f3", DoubleType()),   # bmp: mean B  | wav: mean/32768
+        StructField("d1", LongType()),     # image: width   | wav: n_samples
+        StructField("d2", LongType()),     # image: height  | wav: sample_rate
+        StructField("f1", DoubleType()),   # image: mean R  | wav: rms
+        StructField("f2", DoubleType()),   # image: mean G  | wav: peak/32768
+        StructField("f3", DoubleType()),   # image: mean B  | wav: mean/32768
     ]
 )
 
@@ -215,10 +376,14 @@ DECODED_SCHEMA = StructType(
 def _decode_one(mime: str, blob: bytes | None):
     if blob is None:
         return (None, None, None, None, None)
-    if mime == "image/bmp":
-        px = decode_bmp(bytes(blob)).astype(np.float64)
-        h, w, _ = px.shape
-        means = px.reshape(-1, 3).mean(axis=0)
+    if mime in ("image/bmp", "image/png"):
+        decode = decode_bmp if mime == "image/bmp" else decode_png
+        px = decode(bytes(blob)).astype(np.float64)
+        h, w, ch = px.shape
+        if ch == 1:  # gray: one mean, reported on all three channels
+            m = float(px.mean())
+            return (w, h, m, m, m)
+        means = px.reshape(-1, ch)[:, :3].mean(axis=0)  # alpha excluded
         return (w, h, float(means[0]), float(means[1]), float(means[2]))
     if mime == "audio/wav":
         samples, rate = decode_wav(bytes(blob))
@@ -229,8 +394,8 @@ def _decode_one(mime: str, blob: bytes | None):
         mean = float(s.mean() / 32768.0) if n else 0.0
         return (n, rate, rms, peak, mean)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (BMP/WAV decode is "
-        "native; JPEG/PNG/MP3 need PIL/ffmpeg)"
+        f"no codec for {mime!r} in this environment (BMP/PNG/WAV decode "
+        "is native; JPEG/MP3 need libjpeg/ffmpeg-class codecs)"
     )
 
 

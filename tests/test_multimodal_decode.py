@@ -12,8 +12,10 @@ import pytest
 
 from name_matcher_spark.operators.multimodal import (
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
     extract_decoded_features,
 )
@@ -82,6 +84,49 @@ def test_wav_malformed_raises(blob):
         decode_wav(blob)
 
 
+@pytest.mark.parametrize("shape", [(5, 7), (4, 5, 3), (3, 6, 4)])
+def test_png_round_trip_all_filters(shape):
+    # filter_seed sweeps the scanline filter so every unfilter branch
+    # (None/Sub/Up/Average/Paeth) reconstructs exactly, for gray, RGB
+    # and RGBA layouts; the encoder also splits IDAT in two, so chunk
+    # reassembly is covered on every pass.
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    expected = px[:, :, None] if px.ndim == 2 else px
+    for seed in range(5):
+        got = decode_png(encode_png(px, filter_seed=seed))
+        assert np.array_equal(got, expected)
+
+
+def test_png_single_row_and_column():
+    # 1-wide images make every left/upleft neighbor the zero vector
+    for shape in [(1, 9, 3), (9, 1, 3), (1, 1)]:
+        px = (np.arange(int(np.prod(shape))) * 37 % 256).astype(np.uint8).reshape(shape)
+        exp = px[:, :, None] if px.ndim == 2 else px
+        assert np.array_equal(decode_png(encode_png(px, filter_seed=3)), exp)
+
+
+def test_png_malformed_raises():
+    good = bytearray(encode_png(np.zeros((3, 3, 3), np.uint8)))
+    bad_filter = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    for blob in [
+        b"",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 10,   # truncated chunk list
+        bytes(good[:40]),                        # truncated mid-IHDR/IDAT
+        bytes(good).replace(b"IDAT", b"JUNK"),   # no IDAT at all
+    ]:
+        with pytest.raises(ValueError):
+            decode_png(blob)
+    # unsupported: 16-bit depth (IHDR depth byte at offset 8+8+8)
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(deep))
+    # corrupt zlib stream -> ValueError, not zlib.error
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bytes(bad_filter[:-20]) + b"\x00" * 8 + bytes(bad_filter[-12:]))
+
+
 def test_extract_decoded_features_nulls_bad_rows(spark):
     px = np.full((3, 4, 3), 10, np.uint8)
     v = np.full(50, 1000, np.int16)
@@ -89,6 +134,8 @@ def test_extract_decoded_features_nulls_bad_rows(spark):
         (1, "image/bmp", bytearray(encode_bmp(px))),
         (2, "audio/wav", bytearray(encode_wav(v, 8000))),
         (3, "image/bmp", bytearray(b"garbage not a bmp")),
+        (4, "image/png", bytearray(encode_png(np.full((2, 6, 3), 9, np.uint8)))),
+        (5, "image/png", bytearray(b"\x89PNG garbage")),
     ]
     df = spark.createDataFrame(rows, "media_id long, mime string, content binary")
     out = {r.media_id: r for r in extract_decoded_features(df).collect()}
@@ -96,6 +143,8 @@ def test_extract_decoded_features_nulls_bad_rows(spark):
     assert out[2].d1 == 50 and out[2].d2 == 8000
     assert out[2].f1 == pytest.approx(1000.0)
     assert out[3].d1 is None and out[3].f1 is None  # nulled, task survived
+    assert out[4].d1 == 6 and out[4].d2 == 2 and out[4].f1 == 9.0
+    assert out[5].d1 is None
 
 
 def test_extract_decoded_features_unknown_mime_raises(spark):
