@@ -37,7 +37,9 @@ Skew: hot blocks (common birthdate + initials) are the scale risk.
 AQE skew-join splitting handles the shuffle; `max_block_rows` further
 refines any build-side block bigger than the cap by extending the key
 with soundex4(first_name) on BOTH sides — deterministic, recall-safe
-for names whose first token survives coarse phonetics.
+for names whose first token survives coarse phonetics. The same cap
+guards the plain-birthdate blocking (placeholder-date pileups) by
+extending hot date keys with sx_last — see candidates_birthdate.
 """
 
 from __future__ import annotations
@@ -64,10 +66,57 @@ def _prefixed(df: DataFrame, prefix: str, cols: list[str]) -> DataFrame:
     return df.select(*[F.col(c).alias(f"{prefix}{c}") for c in avail])
 
 
-def candidates_birthdate(p1: DataFrame, p2: DataFrame) -> DataFrame:
-    """(l_id, r_id) pairs sharing an exact birthdate (null drops out)."""
-    left = p1.select(F.col("id").alias("l_id"), F.col("birthdate").alias("bd"))
-    right = p2.select(F.col("id").alias("r_id"), F.col("birthdate").alias("bd"))
+def candidates_birthdate(
+    p1: DataFrame, p2: DataFrame, max_block_rows: int | None = None
+) -> DataFrame:
+    """(l_id, r_id) pairs sharing an exact birthdate (null drops out).
+
+    ``max_block_rows`` is the skew guard for placeholder-date pileups
+    (1900-01-01 / 1970-01-01 defaults in dirty registries): a plain
+    birthdate equi-join goes quadratic inside any date shared by
+    millions of rows, and AQE can only split the shuffle, not shrink
+    the pair count. Build-side (p2) dates exceeding the cap get the
+    join key extended with ``sx_last`` on BOTH sides — the same
+    hot-block refinement ``_refine_hot_blocks`` applies to BKey
+    blocking. Cold dates keep the bare-birthdate key, so on
+    well-distributed data the guard detects nothing (one cheap
+    aggregate) and the candidate set is provably identical. On a piled
+    date, recall holds for every pair whose last names share a
+    soundex4 code — at the downstream ladder's >=85% last-name
+    similarity bar that is the overwhelming case. Requires prepared
+    inputs (``sx_last``) when the cap is set.
+    """
+    lcols = [F.col("id").alias("l_id"), F.col("birthdate").alias("bd")]
+    rcols = [F.col("id").alias("r_id"), F.col("birthdate").alias("bd")]
+    if max_block_rows:
+        lcols.append(F.col("sx_last").alias("l_sx"))
+        rcols.append(F.col("sx_last").alias("r_sx"))
+    left = p1.select(*lcols).filter(F.col("bd").isNotNull())
+    right = p2.select(*rcols).filter(F.col("bd").isNotNull())
+    if max_block_rows:
+        hot = (
+            right.groupBy("bd")
+            .count()
+            .filter(F.col("count") > max_block_rows)
+            .select(F.col("bd").alias("hot_bd"))
+        )
+        if hot.limit(1).take(1):
+            hot_b = F.broadcast(hot)
+
+            def extend(df: DataFrame, sx: str) -> DataFrame:
+                flagged = df.join(hot_b, df["bd"] == hot_b["hot_bd"], "left")
+                # sx_last is a precomputed prepared column, so the
+                # conditional key is pure JVM — no split-and-union
+                # needed (unlike _refine_hot_blocks, whose extension
+                # runs a phonetic UDF).
+                key = F.when(
+                    F.col("hot_bd").isNotNull(),
+                    F.concat_ws("|", F.col("bd").cast("string"), F.col(sx)),
+                ).otherwise(F.col("bd").cast("string"))
+                return flagged.withColumn("bk", key).drop("hot_bd", "bd", sx)
+
+            left, right = extend(left, "l_sx"), extend(right, "r_sx")
+            return left.join(right, "bk").select("l_id", "r_id")
     return left.join(right, "bd").select("l_id", "r_id")
 
 
@@ -378,7 +427,7 @@ def match_fuzzy(
     p1, p2 = _pin(p1), _pin(p2)
 
     if blocking == "birthdate":
-        cands = candidates_birthdate(p1, p2)
+        cands = candidates_birthdate(p1, p2, max_block_rows)
     elif blocking == "bkey_cascade":
         cands = candidates_bkey_cascade(p1, p2, max_block_rows, pins=pins)
     else:

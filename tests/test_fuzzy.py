@@ -98,6 +98,49 @@ def test_hot_block_cap_bounds_candidates(spark):
     assert ids == {1000 + i for i in range(2000) if i % 2 == 0}
 
 
+def test_birthdate_pileup_cap_bounds_candidates(spark):
+    """Placeholder-date pileups must not go quadratic under plain
+    birthdate blocking: build-side dates over the cap get the join key
+    extended with sx_last on BOTH sides, cold dates keep the bare key
+    (candidate set provably unchanged), and true same-soundex pairs on
+    the piled date still come through the full ladder."""
+    from name_matcher_spark.operators.fuzzy_join import candidates_birthdate
+
+    placeholder = date(1900, 1, 1)  # the classic dirty-registry default
+    clean = date(1955, 4, 4)
+    lasts = ["Smith", "Jones", "Garcia", "Klein", "Okafor", "Silva"]
+    probe = [
+        (i, "u", f"F{i}", None, lasts[i % 6], placeholder, None)
+        for i in range(600)
+    ]
+    build = [
+        (10_000 + i, "v", f"G{i}", None, lasts[i % 6], placeholder, None)
+        for i in range(600)
+    ]
+    # one TRUE pair on the piled date, in its own soundex bucket
+    probe.append((600, "u", "Maria", None, "Nakamura", placeholder, None))
+    build.append((10_600, "v", "Maria", None, "Nakamura", placeholder, None))
+    # a cold date (under the cap) and null birthdates (always dropped)
+    probe += [(9_000 + j, "u", "Ann", None, "Lee", clean, None) for j in range(3)]
+    build += [(19_000 + j, "v", "Ann", None, "Lee", clean, None) for j in range(3)]
+    probe.append((9_100, "u", "Bob", None, "Null", None, None))
+    build.append((19_100, "v", "Bob", None, "Null", None, None))
+    pa = _prep(spark, probe, False)
+    pb = _prep(spark, build, False)
+
+    uncapped = candidates_birthdate(pa, pb).count()
+    capped = candidates_birthdate(pa, pb, max_block_rows=100).count()
+    assert uncapped == 601 * 601 + 9  # piled date quadratic + cold date
+    # hot date split into its 7 soundex4(last) buckets (6x100x100 + the
+    # 1x1 Nakamura bucket); the cold date's 3x3 is untouched
+    assert capped == 6 * 100 * 100 + 1 + 9
+    # recall through the e2e path with the cap engaged
+    out = match_fuzzy(
+        pa, pb, include_middle=False, blocking="birthdate", max_block_rows=100
+    )
+    assert {(r.id_1, r.id_2) for r in out.collect()} >= {(600, 10_600)}
+
+
 def _oracle_pairs(a_pd, b_pd, include_middle):
     """Pure-Python mirror of the reference pipeline: normalize_text on
     fields, birthdate-gated candidates, exact ladder semantics. Returns
