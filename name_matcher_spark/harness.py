@@ -234,20 +234,24 @@ _SIDECAR_READY: set[str] = set()
 
 def ensure_phonetic_sidecar(spark: SparkSession, sf_dir: str) -> None:
     """Write/refresh {SIDECAR_DIR}/{soundex4,dmeta}.parquet for the
-    distinct names of this sf's person tables. Idempotent per process."""
+    distinct names of this sf's person tables. Idempotent per process.
+
+    The per-name phonetic computation (the expensive part — Double
+    Metaphone over every distinct full-name variant) runs DISTRIBUTED:
+    the same CPython mirrors the oracle contract requires, Arrow-
+    batched inside mapInPandas, deduplicated executor-side per batch
+    and again by one Spark distinct. The driver only streams the final
+    (map, key, code) rows via toLocalIterator into the single-file
+    pyarrow write — O(one partition) peak beyond the output table
+    itself, which is exactly the bytes DuckDB will read back. Output is
+    byte-identical to the old driver-side build (same sorted keys, same
+    codes, same writer)."""
     if sf_dir in _SIDECAR_READY:
         return
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from .functions.normalize import (
-        normalize_for_phonetic_py,
-        normalize_simple_py,
-        strip_diacritics_lower_trim,
-    )
-    from .functions.phonetic import double_metaphone, soundex4
 
     names = (
         persons_a(spark, sf_dir)
@@ -258,20 +262,49 @@ def ensure_phonetic_sidecar(spark: SparkSession, sf_dir: str) -> None:
             )
         )
         .distinct()
-        .collect()
     )
+
+    def gen(batches):
+        import pandas as _pd  # worker-side
+
+        from name_matcher_spark.functions.normalize import (
+            normalize_for_phonetic_py,
+            normalize_simple_py,
+            strip_diacritics_lower_trim,
+        )
+        from name_matcher_spark.functions.phonetic import (
+            double_metaphone,
+            soundex4,
+        )
+
+        for pdf in batches:
+            rows: list[tuple[str, str, str]] = []
+            seen: set[tuple[str, str]] = set()
+            for f_, m_, l_ in zip(
+                pdf["first_name"], pdf["middle_name"], pdf["last_name"]
+            ):
+                nf = strip_diacritics_lower_trim(f_ if isinstance(f_, str) else None) or ""
+                nm = strip_diacritics_lower_trim(m_ if isinstance(m_, str) else None)
+                nl = strip_diacritics_lower_trim(l_ if isinstance(l_, str) else None) or ""
+                if ("sx", nl) not in seen:
+                    seen.add(("sx", nl))
+                    rows.append(("sx", nl, soundex4(nl)))
+                for full in (
+                    normalize_simple_py(f"{nf} {nl}"),
+                    normalize_simple_py(f"{nf} {nm or ''} {nl}"),
+                ):
+                    if ("dm", full) not in seen:
+                        seen.add(("dm", full))
+                        rows.append(
+                            ("dm", full, double_metaphone(normalize_for_phonetic_py(full)))
+                        )
+            yield _pd.DataFrame(rows, columns=["map", "key", "code"])
+
+    pairs = names.mapInPandas(gen, "map string, key string, code string").distinct()
     sx: dict[str, str] = {}
     dm: dict[str, str] = {}
-    for r in names:
-        nf = strip_diacritics_lower_trim(r.first_name) or ""
-        nm = strip_diacritics_lower_trim(r.middle_name)
-        nl = strip_diacritics_lower_trim(r.last_name) or ""
-        sx[nl] = soundex4(nl)
-        for full in (
-            normalize_simple_py(f"{nf} {nl}"),
-            normalize_simple_py(f"{nf} {nm or ''} {nl}"),
-        ):
-            dm[full] = double_metaphone(normalize_for_phonetic_py(full))
+    for row in pairs.toLocalIterator():
+        (sx if row.map == "sx" else dm)[row.key] = row.code
 
     os.makedirs(SIDECAR_DIR, exist_ok=True)
     for fname, mapping in (("soundex4.parquet", sx), ("dmeta.parquet", dm)):
