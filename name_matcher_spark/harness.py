@@ -3124,7 +3124,16 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") % 5 == 2, F.lit("&c=%3f")).otherwise(F.lit("&c=%3F")),
         F.when(F.col("id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    return p.select(url.alias("url"))
+    # The exchange is a projection-collapse barrier, not a tuning knob:
+    # without it Catalyst substitutes this url-construction expression
+    # into EVERY column reference inside canonical_url (~15 of them),
+    # re-evaluating the concat-of-whens 15x per row — measured 2.5-4x
+    # on the canonicalization bench rows. Production inputs read `url`
+    # from storage and never hit this; it is an artifact of
+    # synthesizing the fixture from expressions.
+    return p.select(url.alias("url")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # One matched %XX token -> normalized form (unreserved decodes,
