@@ -2689,8 +2689,8 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: deterministic BMP/PNG images / WAV audio
-    are synthesized per doc_id (closed-form pixel/sample values),
+    """REAL multimodal decode: deterministic BMP/PNG/JPEG images / WAV
+    audio are synthesized per doc_id (closed-form pixel/sample values),
     serialized to actual file bytes, then parsed back by the pure-numpy
     decoders in operators/multimodal.py inside mapInPandas. The DuckDB
     twin computes the expected pixel/sample statistics straight from the
@@ -2704,6 +2704,7 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from .operators.jpeg import encode_jpeg
     from .operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -2718,7 +2719,7 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                if mid % 3 == 0:
+                if mid % 6 == 0:
                     w, h = 4 + mid % 5, 3 + mid % 4
                     y, x = np.mgrid[0:h, 0:w]
                     px = np.stack(
@@ -2730,6 +2731,33 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         axis=-1,
                     ).astype(np.uint8)
                     rows.append((mid, "image/bmp", encode_bmp(px)))
+                elif mid % 6 == 3:
+                    # Baseline JPEG at quality=100, constant within each
+                    # 8x8 tile and gray (Cb=Cr=128): reconstruction is
+                    # bit-exact (operators/jpeg.py exactness contract),
+                    # so pixel means stay closed-form while the bytes
+                    # traverse Huffman DC-diff coding, the MCU
+                    # interleave, 4:2:0 upsampling and RST markers.
+                    w, h = 5 + mid % 13, 4 + mid % 11
+                    y, x = np.mgrid[0:h, 0:w]
+                    g = ((29 * mid + 13 * (x // 8) + 7 * (y // 8)) % 256).astype(
+                        np.uint8
+                    )
+                    variant = (mid // 6) % 3
+                    if variant == 0:  # 1-component grayscale scan
+                        blob = encode_jpeg(g, quality=100)
+                    elif variant == 1:  # 3-component 4:4:4
+                        blob = encode_jpeg(
+                            np.stack([g, g, g], axis=-1), quality=100
+                        )
+                    else:  # 4:2:0 interleaved MCUs + restart markers
+                        blob = encode_jpeg(
+                            np.stack([g, g, g], axis=-1),
+                            quality=100,
+                            subsample="420",
+                            restart_interval=1,
+                        )
+                    rows.append((mid, "image/jpeg", blob))
                 elif mid % 3 == 1:
                     n = 64 + mid % 64
                     rate = 8000 + (mid % 4) * 4000
@@ -2759,7 +2787,7 @@ def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_DECODE_SQL = """
 WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
 bmp AS (SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
-        FROM m WHERE media_id % 3 = 0),
+        FROM m WHERE media_id % 6 = 0),
 bx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM bmp),
 bxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM bx),
 bstats AS (
@@ -2796,9 +2824,25 @@ wstats AS (
     max(abs(v)) / 32768.0 AS f2,
     avg(v) / 32768.0 AS f3
   FROM wv GROUP BY media_id
+),
+-- JPEG rows: quality-100 per-8x8-tile-constant gray images decode
+-- bit-exactly (see operators/jpeg.py), so pixel means come straight
+-- from the generative tile formula regardless of the encode variant
+-- (grayscale scan / 4:4:4 / 4:2:0+RST chosen by (media_id//6)%3).
+jpg AS (SELECT media_id, 5 + media_id % 13 AS w, 4 + media_id % 11 AS h
+        FROM m WHERE media_id % 6 = 3),
+jx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM jpg),
+jxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM jx),
+jstats AS (
+  SELECT media_id, 'image/jpeg' AS mime,
+    CAST(min(w) AS BIGINT) AS d1, CAST(min(h) AS BIGINT) AS d2,
+    avg(CAST((29 * media_id + 13 * (x // 8) + 7 * (y // 8)) % 256 AS DOUBLE)) AS f1,
+    avg(CAST((29 * media_id + 13 * (x // 8) + 7 * (y // 8)) % 256 AS DOUBLE)) AS f2,
+    avg(CAST((29 * media_id + 13 * (x // 8) + 7 * (y // 8)) % 256 AS DOUBLE)) AS f3
+  FROM jxy GROUP BY media_id
 )
 SELECT * FROM bstats UNION ALL SELECT * FROM pstats
-UNION ALL SELECT * FROM wstats
+UNION ALL SELECT * FROM wstats UNION ALL SELECT * FROM jstats
 """
 
 

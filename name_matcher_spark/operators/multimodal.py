@@ -13,8 +13,12 @@ Two decode tiers:
   (None/Sub/Up/Average/Paeth) in ``decode_png`` is ~100 lines of numpy.
   8-bit gray/RGB/RGBA, non-interlaced — the shapes a crawl pipeline
   actually stores after ingest normalization.
-* **Stub** for codec formats genuinely absent from this container
-  (JPEG/MP3/H.264 need libjpeg/ffmpeg-class entropy decoders):
+* **Real decode** also for baseline JPEG — ``operators/jpeg.py`` is a
+  pure-numpy T.81 codec (marker walk, DHT-driven Huffman, dequant,
+  matrix IDCT, 4:2:0 upsampling, restart markers), so the last *image*
+  stub is gone.
+* **Stub** only for entropy-coded audio/video formats genuinely absent
+  from this container (MP3/H.264 need ffmpeg-class decoders):
   ``decode_image_batch`` raises NotImplementedError unless
   ``fake=True``, in which case it produces a deterministic md5-derived
   feature vector — the Spark-side plumbing (schema, mapInPandas
@@ -376,8 +380,15 @@ DECODED_SCHEMA = StructType(
 def _decode_one(mime: str, blob: bytes | None):
     if blob is None:
         return (None, None, None, None, None)
-    if mime in ("image/bmp", "image/png"):
-        decode = decode_bmp if mime == "image/bmp" else decode_png
+    if mime in ("image/bmp", "image/png", "image/jpeg"):
+        if mime == "image/bmp":
+            decode = decode_bmp
+        elif mime == "image/png":
+            decode = decode_png
+        else:
+            from .jpeg import decode_jpeg
+
+            decode = decode_jpeg
         px = decode(bytes(blob)).astype(np.float64)
         h, w, ch = px.shape
         if ch == 1:  # gray: one mean, reported on all three channels
@@ -394,8 +405,8 @@ def _decode_one(mime: str, blob: bytes | None):
         mean = float(s.mean() / 32768.0) if n else 0.0
         return (n, rate, rms, peak, mean)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (BMP/PNG/WAV decode "
-        "is native; JPEG/MP3 need libjpeg/ffmpeg-class codecs)"
+        f"no codec for {mime!r} in this environment (BMP/PNG/JPEG/WAV "
+        "decode is native; MP3/H.264 need ffmpeg-class codecs)"
     )
 
 

@@ -1,0 +1,163 @@
+"""Pure-numpy baseline JPEG codec tests (operators/jpeg.py).
+
+Three layers, mirroring the BMP/PNG/WAV decode test strategy:
+  * bit-exact reconstruction on the quality-100 per-8x8-tile-constant
+    contract the mm_decode_media oracle relies on, across every encode
+    variant (grayscale scan, 4:4:4, 4:2:0, restart markers);
+  * lossless entropy layer: decode-of-encode reproduces the encoder's
+    quantized coefficients exactly (checked end-to-end via q=100 on
+    block-aligned content, where transform rounding is the only
+    tolerance and is < 0.5);
+  * tolerance + structure checks on arbitrary content and loud
+    failures on malformed/unsupported input.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from name_matcher_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _tile_gray(mid: int, h: int, w: int) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return ((29 * mid + 13 * (x // 8) + 7 * (y // 8)) % 256).astype(np.uint8)
+
+
+def test_zigzag_is_a_permutation_with_known_prefix():
+    flat = ZIGZAG[:, 0] * 8 + ZIGZAG[:, 1]
+    assert sorted(flat.tolist()) == list(range(64))
+    # first ten entries of the T.81 scan, row-major indices
+    assert flat[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (4, 5), (8, 8), (10, 13), (14, 17), (3, 20), (16, 16)])
+@pytest.mark.parametrize("variant", ["gray", "444", "420", "420rst"])
+def test_tile_constant_q100_exact(h, w, variant):
+    g = _tile_gray(11, h, w)
+    if variant == "gray":
+        data, want = encode_jpeg(g, 100), g[:, :, None]
+    else:
+        rgb = np.stack([g, g, g], axis=-1)
+        want = rgb
+        if variant == "444":
+            data = encode_jpeg(rgb, 100, "444")
+        elif variant == "420":
+            data = encode_jpeg(rgb, 100, "420")
+        else:
+            data = encode_jpeg(rgb, 100, "420", restart_interval=1)
+    out = decode_jpeg(data)
+    assert out.shape == want.shape
+    assert (out == want).all()
+
+
+def test_solid_gray_every_level_q100_exact():
+    # DC-only path across the full dynamic range, including the values
+    # whose category-11 DC diffs stress magnitude coding.
+    for v in (0, 1, 127, 128, 200, 254, 255):
+        px = np.full((9, 11), v, dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg(px, 100)) == v).all()
+        rgb = np.stack([px] * 3, axis=-1)
+        assert (decode_jpeg(encode_jpeg(rgb, 100, "420")) == v).all()
+
+
+def test_random_rgb_tolerance_by_quality():
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (24, 31, 3), dtype=np.uint8)
+    exact = decode_jpeg(encode_jpeg(px, 100, "444"))
+    # q=100 on arbitrary content: only color-transform + IDCT rounding
+    assert np.abs(exact.astype(int) - px.astype(int)).max() <= 3
+    lossy = decode_jpeg(encode_jpeg(px, 75, "444"))
+    assert lossy.shape == px.shape
+    # white-noise worst case still bounded well inside a byte
+    assert np.abs(lossy.astype(int) - px.astype(int)).max() < 128
+    smooth_err = np.abs(
+        decode_jpeg(encode_jpeg(px, 90, "444")).astype(int) - px.astype(int)
+    ).mean()
+    assert smooth_err < 12.0
+
+
+def test_smooth_gradient_420_with_restarts():
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [(3 * xx + 2 * yy) % 256, (xx + yy) % 200, (2 * xx) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px, 85, "420", restart_interval=3))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 2.0
+
+
+def test_ff_stuffing_round_trip():
+    # find a tile-constant fixture whose entropy stream contains a
+    # stuffed FF00, then prove it still round-trips bit-exactly on the
+    # q100 block-constant contract
+    hit = False
+    for mid in range(64):
+        g = _tile_gray(mid, 32, 40)
+        data = encode_jpeg(g, 100)
+        scan = data[data.find(b"\xff\xda"):]
+        assert (decode_jpeg(data) == g[:, :, None]).all()
+        hit = hit or b"\xff\x00" in scan
+    assert hit  # stuffing exercised at least once across the sweep
+
+
+def test_rejects_malformed_and_unsupported():
+    g = _tile_gray(1, 10, 12)
+    good = encode_jpeg(g, 100)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-segment
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # entropy truncation: cut mid-stream in a many-block image
+    big = encode_jpeg(_tile_gray(9, 48, 64), 100)
+    cut = big.find(b"\xff\xda") + 14
+    with pytest.raises(ValueError):
+        decode_jpeg(big[:cut])
+
+
+def test_quality_scaling_monotone_size():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    sizes = [len(encode_jpeg(px, q, "444")) for q in (25, 50, 75, 100)]
+    assert sizes == sorted(sizes)
+
+
+def test_decoder_reads_tables_from_file_not_constants():
+    # Rewrite the luma DQT in-place with a doubled table; the decoder
+    # must honor the file's table (pixels shift), proving DHT/DQT are
+    # parsed rather than assumed.
+    px = np.full((8, 8), 200, dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, 100))
+    at = bytes(data).find(b"\xff\xdb")
+    ln = struct.unpack_from(">H", data, at + 2)[0]
+    # body: [pq_tq, 64 table bytes]
+    for i in range(at + 5, at + 2 + ln):
+        data[i] = min(255, data[i] * 3)
+    out = decode_jpeg(bytes(data))
+    # DC was 8*(200-128)=576 quantized by 1; decoding with q=3 gives
+    # 576*3/8 + 128 = 344 -> clipped to 255
+    assert (out == 255).all()
+
+
+def test_wired_into_decode_one():
+    from name_matcher_spark.operators.multimodal import _decode_one
+
+    g = _tile_gray(23, 9, 14)
+    w, h, f1, f2, f3 = _decode_one("image/jpeg", encode_jpeg(g, 100))
+    assert (w, h) == (14, 9)
+    assert f1 == f2 == f3 == pytest.approx(g.mean(), abs=0)

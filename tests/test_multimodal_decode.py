@@ -148,9 +148,19 @@ def test_extract_decoded_features_nulls_bad_rows(spark):
 
 
 def test_extract_decoded_features_unknown_mime_raises(spark):
+    # mp3 stays a genuinely-uncodec'd mime (jpeg is native since r05)
     df = spark.createDataFrame(
-        [(1, "image/jpeg", bytearray(b"\xff\xd8\xff"))],
+        [(1, "audio/mp3", bytearray(b"\xff\xfb\x90"))],
         "media_id long, mime string, content binary",
     )
     with pytest.raises(Exception, match="no codec"):
         extract_decoded_features(df).collect()
+
+
+def test_malformed_jpeg_nulls_not_fails(spark):
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(b"\xff\xd8\xff\xee junk"))],
+        "media_id long, mime string, content binary",
+    )
+    row = extract_decoded_features(df, on_error="null").collect()[0]
+    assert row.d1 is None and row.f1 is None
