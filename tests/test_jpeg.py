@@ -161,3 +161,54 @@ def test_wired_into_decode_one():
     w, h, f1, f2, f3 = _decode_one("image/jpeg", encode_jpeg(g, 100))
     assert (w, h) == (14, 9)
     assert f1 == f2 == f3 == pytest.approx(g.mean(), abs=0)
+
+
+# --- property tests -------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    mid=st.integers(0, 1 << 40),
+    variant=st.sampled_from(["gray", "444", "420", "420rst"]),
+)
+def test_prop_tile_constant_q100_exact(h, w, mid, variant):
+    """The oracle exactness contract holds for ARBITRARY dims (any
+    padding geometry) and tile values (any DC-diff category)."""
+    g = _tile_gray(mid, h, w)
+    if variant == "gray":
+        data, want = encode_jpeg(g, 100), g[:, :, None]
+    else:
+        rgb = np.stack([g, g, g], axis=-1)
+        want = rgb
+        kw = {"subsample": "420"} if variant.startswith("420") else {}
+        if variant == "420rst":
+            kw["restart_interval"] = 2
+        data = encode_jpeg(rgb, 100, **kw)
+    out = decode_jpeg(data)
+    assert out.shape == want.shape
+    assert (out == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90, 100]),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_prop_random_rgb_round_trip_bounded(h, w, seed, quality, sub):
+    """Arbitrary content at any quality: decode never errors, shape is
+    preserved, and the error stays inside the byte range (quantization
+    can be large on noise, but must never wrap/overflow)."""
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality, sub))
+    assert out.shape == px.shape
+    assert out.dtype == np.uint8
+    if quality == 100 and sub == "444":
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
