@@ -218,9 +218,15 @@ def main() -> None:
 
     kresults = {}
     for cpus in levels:
+        kenv = dict(os.environ)
+        # The persisted candidate table grows with `size` and the scoring
+        # working set with task slots; the 8g get_spark default OOMs the
+        # 105.9M-pair kernel at 32 threads (GCLocker alloc storms).
+        # Scale the child heap with the input unless the caller pinned it.
+        kenv.setdefault("NMS_DRIVER_MEM", "24g" if size > 1_000_000 else "8g")
         proc = subprocess.run(
             [sys.executable, __file__, "--kernel-child", str(cpus), str(cand_dir)],
-            capture_output=True, text=True, check=False, timeout=3600,
+            capture_output=True, text=True, check=False, timeout=3600, env=kenv,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
