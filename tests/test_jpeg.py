@@ -212,3 +212,56 @@ def test_prop_random_rgb_round_trip_bounded(h, w, seed, quality, sub):
     assert out.dtype == np.uint8
     if quality == 100 and sub == "444":
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_real_world_jpegs_from_spark_distribution():
+    """Validate against files this codec's own encoder never produced:
+    the Spark distribution ships real camera JPEGs (mllib image test
+    data). Every baseline file must decode with plausible photo stats;
+    progressive ones must be rejected loudly, never mis-decoded.
+    Skipped when no Spark distribution directory is present."""
+    import glob
+    import os
+
+    roots = glob.glob("/opt/spark*/data/mllib/images/origin/kittens")
+    if not roots:
+        pytest.skip("no Spark distribution image data on this host")
+    decoded = rejected = 0
+    for path in sorted(glob.glob(os.path.join(roots[0], "*.jpg"))):
+        blob = open(path, "rb").read()
+        try:
+            px = decode_jpeg(blob)
+        except ValueError as e:
+            assert "baseline" in str(e) or "unsupported" in str(e)
+            rejected += 1
+            continue
+        decoded += 1
+        h, w, ch = px.shape
+        assert ch == 3 and h >= 8 and w >= 8
+        # a real photo is neither black nor blown out, and has texture
+        assert 10.0 < px.mean() < 245.0
+        assert px.std() > 5.0
+    assert decoded >= 3  # the distribution ships 4 kitten photos
+
+
+def test_real_photo_reencode_consistency():
+    """decode(real photo) -> encode(q95, 420) -> decode stays close:
+    proves the encoder/decoder pair is consistent on natural content
+    (adaptive-quantizer real files, subsampling, large MCU grids)."""
+    import glob
+
+    files = sorted(glob.glob("/opt/spark*/data/mllib/images/origin/kittens/*.jpg"))
+    if not files:
+        pytest.skip("no Spark distribution image data on this host")
+    src = None
+    for path in files:
+        try:
+            src = decode_jpeg(open(path, "rb").read())
+            break
+        except ValueError:
+            continue
+    assert src is not None
+    rt = decode_jpeg(encode_jpeg(src, 95, "420"))
+    err = np.abs(rt.astype(int) - src.astype(int))
+    assert err.mean() < 4.0
+    assert np.percentile(err, 99) <= 16
