@@ -15,7 +15,10 @@ components, sampling factors 1-2 per axis, restart intervals,
 multi-scan-free single SOS, byte-stuffed entropy data. Progressive
 (SOF2), arithmetic coding, 12-bit, and hierarchical modes raise
 ValueError — a crawl ingest pipeline normalizes those upstream, and a
-loud error beats a wrong decode.
+loud error beats a wrong decode. Validated against real camera/tool
+JPEGs it did not encode (the Spark distribution's mllib image test
+data and every other JPEG on this host: all baseline files decode,
+all progressive files reject loudly — tests/test_jpeg.py).
 
 Exactness contract used by the ``mm_decode_media`` oracle: at
 quality=100 every quantizer step is 1, so an image that is CONSTANT
