@@ -286,21 +286,26 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Serialize (h, w, 3) uint8 RGB or (h, w)/(h, w, 1) uint8 gray as
-    a baseline JFIF JPEG. ``subsample`` is '444' or '420' (ignored for
-    gray). ``restart_interval`` > 0 inserts RSTn markers every that
+    a baseline JFIF JPEG. ``subsample`` is '444', '422' or '420'
+    (ignored for gray). ``restart_interval`` > 0 inserts RSTn every that
     many MCUs (exercises the decoder's restart path). quality=100
     yields all-ones quantizers — see the module exactness contract."""
     if pixels.ndim == 3 and pixels.shape[2] == 1:
         pixels = pixels[:, :, 0]
     gray = pixels.ndim == 2
-    if subsample not in ("444", "420"):
+    if subsample not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h, w = pixels.shape[:2]
     if h <= 0 or w <= 0:
         raise ValueError("empty image")
     qt_l = _scaled_qt(_QT_LUMA, quality)
     qt_c = _scaled_qt(_QT_CHROMA, quality)
-    sampling = (1, 1) if gray or subsample == "444" else (2, 2)
+    if gray or subsample == "444":
+        sampling = (1, 1)
+    elif subsample == "422":
+        sampling = (2, 1)
+    else:
+        sampling = (2, 2)
     hmax, vmax = sampling
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     pad_w = -w % mcu_w
@@ -315,11 +320,12 @@ def encode_jpeg(
     planes = [
         np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes
     ]
-    if not gray and sampling == (2, 2):
-        # 2x2 mean chroma downsample; padded dims are 16-multiples so
-        # the subsampled planes are already 8-multiples.
+    if not gray and sampling != (1, 1):
+        # mean chroma downsample by the sampling factors; padded dims
+        # are MCU multiples so the subsampled planes are 8-multiples.
+        sh, sv = sampling[0], sampling[1]
         planes[1:] = [
-            p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            p.reshape(p.shape[0] // sv, sv, p.shape[1] // sh, sh).mean(axis=(1, 3))
             for p in planes[1:]
         ]
 

@@ -39,7 +39,7 @@ def test_zigzag_is_a_permutation_with_known_prefix():
 
 
 @pytest.mark.parametrize("h,w", [(1, 1), (4, 5), (8, 8), (10, 13), (14, 17), (3, 20), (16, 16)])
-@pytest.mark.parametrize("variant", ["gray", "444", "420", "420rst"])
+@pytest.mark.parametrize("variant", ["gray", "444", "422", "420", "420rst", "422rst"])
 def test_tile_constant_q100_exact(h, w, variant):
     g = _tile_gray(11, h, w)
     if variant == "gray":
@@ -47,12 +47,11 @@ def test_tile_constant_q100_exact(h, w, variant):
     else:
         rgb = np.stack([g, g, g], axis=-1)
         want = rgb
-        if variant == "444":
-            data = encode_jpeg(rgb, 100, "444")
-        elif variant == "420":
-            data = encode_jpeg(rgb, 100, "420")
+        sub = variant[:3]
+        if variant.endswith("rst"):
+            data = encode_jpeg(rgb, 100, sub, restart_interval=1)
         else:
-            data = encode_jpeg(rgb, 100, "420", restart_interval=1)
+            data = encode_jpeg(rgb, 100, sub)
     out = decode_jpeg(data)
     assert out.shape == want.shape
     assert (out == want).all()
@@ -174,7 +173,7 @@ from hypothesis import strategies as st
     h=st.integers(1, 33),
     w=st.integers(1, 33),
     mid=st.integers(0, 1 << 40),
-    variant=st.sampled_from(["gray", "444", "420", "420rst"]),
+    variant=st.sampled_from(["gray", "444", "422", "420", "420rst", "422rst"]),
 )
 def test_prop_tile_constant_q100_exact(h, w, mid, variant):
     """The oracle exactness contract holds for ARBITRARY dims (any
@@ -185,8 +184,10 @@ def test_prop_tile_constant_q100_exact(h, w, mid, variant):
     else:
         rgb = np.stack([g, g, g], axis=-1)
         want = rgb
-        kw = {"subsample": "420"} if variant.startswith("420") else {}
-        if variant == "420rst":
+        kw = {}
+        if variant[:3] in ("420", "422"):
+            kw["subsample"] = variant[:3]
+        if variant.endswith("rst"):
             kw["restart_interval"] = 2
         data = encode_jpeg(rgb, 100, **kw)
     out = decode_jpeg(data)
