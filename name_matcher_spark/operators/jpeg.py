@@ -650,4 +650,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    # Channel mapping follows component ID, not scan position (virtually
+    # every encoder scans Y,Cb,Cr, but the spec doesn't require it).
+    cids = [c[0][0] for c in scan]
+    order = sorted(range(3), key=lambda i: cids[i])
+    p0, p1, p2 = (planes[order[i]] for i in range(3))
+    if sorted(cids) == [0x42, 0x47, 0x52]:  # component IDs 'R','G','B':
+        # Adobe-style RGB scan — stored without the YCbCr transform.
+        rgb = [p for _, p in sorted(zip(cids, planes), key=lambda t: -t[0])]
+        return np.clip(np.round(np.stack(rgb, axis=-1)), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(p0, p1, p2)

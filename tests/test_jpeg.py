@@ -266,3 +266,24 @@ def test_real_photo_reencode_consistency():
     err = np.abs(rt.astype(int) - src.astype(int))
     assert err.mean() < 4.0
     assert np.percentile(err, 99) <= 16
+
+
+def test_rgb_component_ids_skip_color_transform():
+    """Adobe-style files store component IDs 'R','G','B' and no YCbCr
+    transform. Rewrite a solid-gray file's component IDs: the decoder
+    must then return the raw planes as RGB — (v, 128, 128) for a file
+    whose YCbCr planes were (v, 128, 128)."""
+    v = 200
+    px = np.full((8, 8, 3), v, dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, 100, "444"))
+    sof = bytes(data).find(b"\xff\xc0")
+    # SOF body starts at sof+4: prec(1) h(2) w(2) nc(1), then (cid,hv,tq)*3
+    for i, cid in enumerate(b"RGB"):
+        data[sof + 4 + 6 + 3 * i] = cid
+    sos = bytes(data).find(b"\xff\xda")
+    # SOS body starts at sos+4: ns(1), then (cid, tdta)*3
+    for i, cid in enumerate(b"RGB"):
+        data[sos + 4 + 1 + 2 * i] = cid
+    out = decode_jpeg(bytes(data))
+    assert (out[:, :, 0] == v).all()
+    assert (out[:, :, 1] == 128).all() and (out[:, :, 2] == 128).all()
