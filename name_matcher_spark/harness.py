@@ -1574,19 +1574,24 @@ def dd_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.col("text").substr(cut + 1, F.length("text")).alias("text"),
     )
-    ext = d.unionByName(variants)
+    # Stage-boundary pins, mirroring the oracle's MATERIALIZED CTEs:
+    # ext feeds 3 generators and truth feeds every _stats aggregate —
+    # unpinned, the exact-Jaccard truth pipeline re-runs 4x and the
+    # planted-corpus build 6x. localCheckpoint (not persist) so blocks
+    # free with the DataFrames, per the run_linkage staging discipline.
+    ext = d.unionByName(variants).localCheckpoint()
     planted = src.select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
     )
     truth = ngram_jaccard_pairs(
         ext, candidates=planted, k=5, threshold=0.6
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     mh = minhash_lsh_candidates(
         ext, k=5, num_hashes=8, bands=4, hash_fn="md5"
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     sh = simhash_near_dupes(ext, k=4, max_hamming=3, hash_fn="md5_60").select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint()
 
     def _stats(method: str, cand: DataFrame) -> DataFrame:
         nt = truth.agg(F.count("*").alias("n_truth"))
@@ -3224,7 +3229,7 @@ c1 AS (
   SELECT url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
     regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                   '#.*$', '') AS rest
+                   '(?s)#.*$', '') AS rest
   FROM raw
 ),
 c2 AS (
@@ -3245,7 +3250,7 @@ c4 AS (
                                OR (s = 'https' AND port = '443'))
          THEN ':' || port ELSE '' END AS pp,
     regexp_extract(rest, '^[^/?]+([^?]*)', 1) AS raw_path,
-    regexp_extract(rest, '\\?(.*)$', 1) AS q
+    regexp_extract(rest, '\\?((?s:.*))$', 1) AS q
   FROM c3
 ),
 c4b AS (

@@ -452,7 +452,13 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # Drop the consumed bit: without this mask the accumulator grows
+        # by 8 bits per scan byte and every subsequent shift copies the
+        # whole big-int — O(n^2) in entropy-stream size (a 123 KB scan
+        # took 12 s; a real 2 MB photo would take ~an hour).
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0
@@ -505,8 +511,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone (no length)
+            pos += 2
+            continue
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -522,11 +534,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qts[pq_tq & 0xF] = table.reshape(8, 8)
                 bpos += 65
         elif marker in (0xC0, 0xC1):  # SOF0/1 (both Huffman sequential)
+            if len(body) < 6:
+                raise ValueError("short SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("short SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -550,6 +566,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huffs[(tc_th >> 4, tc_th & 0xF)] = _HuffDecoder(bits, vals)
                 bpos += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             pos = pos + 2 + seglen
@@ -563,7 +581,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     fh, fw, comps = sof
     if fh <= 0 or fw <= 0 or fh > 1 << 16 or fw > 1 << 16:
         raise ValueError("bad dimensions")
+    if len(body) < 1:
+        raise ValueError("short SOS segment")
     ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("short SOS segment")
     scan = []
     for i in range(ns):
         cs, td_ta = body[1 + 2 * i : 3 + 2 * i]
@@ -576,6 +598,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is ONE data unit, raster order over the component's own
+        # ceil(w/8) x ceil(h/8) grid, regardless of its SOF sampling
+        # factors (which only matter relative to other components).
+        cid, _, _, tq = scan[0][0]
+        scan = [((cid, 1, 1, tq), scan[0][1], scan[0][2])]
+        hmax = vmax = 1
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
 

@@ -198,6 +198,8 @@ def encode_png(pixels: np.ndarray, filter_seed: int = 0) -> bytes:
     reassembly. Fixture writer for ``decode_png``."""
     import zlib
 
+    if pixels.ndim == 3 and pixels.shape[2] == 1:
+        pixels = pixels[:, :, 0]  # 1-channel is gray, not RGBA
     if pixels.ndim == 2:
         ct, px = 0, pixels[:, :, None]
     elif pixels.shape[2] == 3:
@@ -259,6 +261,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if len(body) != length:
             raise ValueError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
@@ -276,12 +280,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("bad dimensions")
     ch = _PNG_CHANNELS[ct]
     stride = w * ch
-    need = (stride + 1) * h  # bufsize caps inflation (zip-bomb guard)
+    need = (stride + 1) * h
+    # Zip-bomb guard: decompressobj(max_length=...) truly caps the
+    # inflated output (zlib.decompress's bufsize is only the INITIAL
+    # buffer size — a hostile IDAT would fully inflate before any
+    # length check could run).
     try:
-        raw = zlib.decompress(bytes(idat), bufsize=need)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), need)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from None
-    if len(raw) != need:
+    if len(raw) != need or dec.decompress(b"", 1) or not dec.eof or dec.unused_data:
         raise ValueError("IDAT length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]

@@ -245,7 +245,7 @@ def canonical_url(
     u = F.trim(col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    rest = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
+    rest = F.regexp_replace(rest, r"(?s)#.*$", "")  # drop fragment (DOTALL: a newline-mangled URL must not smuggle its fragment through)
 
     # Authority may carry userinfo ('user:pass@host'); strip it before
     # host/port parsing or the host comes out as 'user'. Userinfo is
@@ -277,13 +277,13 @@ def canonical_url(
     # before or after the split — and one interleave pass costs half
     # of two (it dominated this expression's runtime).
     after_host = normalize_percent_encoding(
-        F.regexp_extract(rest, r"^[^/?]+(.*)$", 1)
+        F.regexp_extract(rest, r"^[^/?]+((?s:.*))$", 1)
     )
     raw_path = F.regexp_extract(after_host, r"^([^?]*)", 1)
     trimmed_path = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(trimmed_path == "", F.lit("/")).otherwise(trimmed_path)
 
-    query = F.regexp_extract(after_host, r"\?(.*)$", 1)
+    query = F.regexp_extract(after_host, r"\?((?s:.*))$", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(tracker_re),
@@ -351,6 +351,23 @@ def url_dedup_groups(
 # text pipeline drops before fetching/parsing (stylesheets, scripts,
 # images, fonts, media, archives, binaries). Module-level so the
 # DuckDB oracle interpolates the same set.
+def _authority_host(u: Column, strip_www: bool = False) -> Column:
+    """Lowercased host from an absolute URL's authority section:
+    userinfo ('user:pass@') stripped before the host — '://([^/?#:]+)'
+    alone mis-parses 'http://u:p@host/x' as host='u' — then the port,
+    and optionally a leading 'www.'. Single source for url_filter and
+    domain_stats (canonical_url parses its own fragment-stripped
+    `rest`, a different pipeline stage); the DuckDB twins mirror the
+    same three-step strip."""
+    authority = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
+    return F.regexp_replace(host, r"^www\.", "") if strip_www else host
+
+
 BLOCKED_URL_EXTENSIONS: tuple[str, ...] = (
     "css", "js", "json", "png", "jpg", "jpeg", "gif", "svg", "ico",
     "webp", "woff", "woff2", "ttf", "eot", "mp3", "mp4", "avi", "mov",
@@ -381,14 +398,7 @@ def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
     """
     u = F.coalesce(F.col(url_col), F.lit(""))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    # Authority-aware host extraction: take the full authority (which
-    # may carry 'user:pass@'), strip userinfo, then the port —
-    # '://([^/?#:]+)' alone mis-parses 'http://u:p@host/x' as host='u'
-    # and wrongly drops the page at the pass_host gate.
-    authority = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", ""
-    )
+    host = _authority_host(u)
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
     pass_scheme = scheme.isin("http", "https")
@@ -423,18 +433,7 @@ def domain_stats(
     policy wants to see, and AQE splits it.
     """
     u = F.coalesce(F.col(url_col), F.lit(""))
-    # Same authority-aware parse as url_filter: userinfo stripped
-    # before the host, so 'http://u:p@host/x' attributes to 'host'.
-    authority = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    )
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", ""
-        ),
-        r"^www\.",
-        "",
-    )
+    host = _authority_host(u, strip_www=True)
     base = df.select(
         host.alias("host"), F.col(url_col).alias("_u"),
         *([F.col(ts_col).alias("_ts")] if ts_col else []),

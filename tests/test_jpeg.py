@@ -287,3 +287,40 @@ def test_rgb_component_ids_skip_color_transform():
     out = decode_jpeg(bytes(data))
     assert (out[:, :, 0] == v).all()
     assert (out[:, :, 1] == 128).all() and (out[:, :, 2] == 128).all()
+
+
+def test_decode_speed_linear_in_scan_size():
+    """The bit reader must mask its accumulator: unmasked, decode is
+    O(n^2) in entropy-stream bytes (a 123KB scan measured 12s). A
+    256x256 noise image (~100KB+ scan) must decode in seconds."""
+    import time
+
+    px = np.random.RandomState(3).randint(0, 256, (256, 256, 3), dtype=np.uint8)
+    data = encode_jpeg(px, 90, "444")
+    assert len(data) > 60_000  # big enough to expose quadratic cost
+    t0 = time.time()
+    out = decode_jpeg(data)
+    assert out.shape == px.shape
+    assert time.time() - t0 < 30.0  # O(n^2) took minutes at this size
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes."""
+    g = _tile_gray(4, 10, 12)
+    data = encode_jpeg(g, 100)
+    sof = data.find(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert (decode_jpeg(padded) == g[:, :, None]).all()
+
+
+def test_grayscale_nonunit_sampling_is_noninterleaved():
+    """A single-component scan is non-interleaved (T.81 A.2): sampling
+    factors in SOF must not change the block layout. Rewriting a gray
+    file's SOF hv byte from 1x1 to 2x2 must decode identically."""
+    g = _tile_gray(8, 24, 21)
+    data = bytearray(encode_jpeg(g, 100))
+    sof = bytes(data).find(b"\xff\xc0")
+    hv_at = sof + 4 + 6 + 1  # body: prec(1) h(2) w(2) nc(1) cid(1) -> hv
+    assert data[hv_at] == 0x11
+    data[hv_at] = 0x22
+    assert (decode_jpeg(bytes(data)) == g[:, :, None]).all()

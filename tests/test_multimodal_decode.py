@@ -164,3 +164,37 @@ def test_malformed_jpeg_nulls_not_fails(spark):
     )
     row = extract_decoded_features(df, on_error="null").collect()[0]
     assert row.d1 is None and row.f1 is None
+
+
+def test_png_zip_bomb_rejected_without_inflation():
+    """decompressobj(max_length) caps inflation BEFORE allocation —
+    zlib.decompress's bufsize is only an initial size and would
+    materialize the whole bomb first."""
+    import struct as _struct
+    import time
+    import zlib
+
+    from name_matcher_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # declares 1x1 gray
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~50MB inflated
+    data = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
+    t0 = time.time()
+    with pytest.raises(ValueError, match="IDAT length mismatch"):
+        decode_png(data)
+    assert time.time() - t0 < 2.0
+
+
+def test_png_bad_ihdr_length_is_value_error():
+    from name_matcher_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    data = _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 12) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(data)
+
+
+def test_encode_png_single_channel_3d_is_gray():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+    out = decode_png(encode_png(px))
+    assert out.shape == (4, 6, 1)
+    assert (out == px).all()

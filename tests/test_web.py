@@ -306,3 +306,22 @@ def test_domain_stats_ts_window(spark):
     )
     r = domain_stats(df, ts_col="ts").collect()[0]
     assert r.first_ts == 10 and r.last_ts == 30
+
+
+def test_canonical_url_newline_mangled(spark):
+    """A raw newline inside a crawl URL (header-splitting mangles do
+    happen) must not blank the whole path+query: the after_host and
+    fragment regexes are DOTALL on BOTH dialects, matching the DuckDB
+    twin's character-class semantics."""
+    from name_matcher_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/x\ny?b=1",),
+            ("https://b.com/x#f\ny",),
+        ],
+        "url string",
+    )
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got[0] == "http://a.com/x\ny?b=1"  # path+query preserved
+    assert got[1] == "https://b.com/x"  # multi-line fragment fully dropped
