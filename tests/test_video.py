@@ -1,0 +1,115 @@
+"""Video frame-sampling (MJPEG-in-AVI) and area resize: real container
+walk + real JPEG decode, closed-form exactness via the q100
+tile-constant contract, malformed-input discipline, and the Spark
+mapInPandas paths end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from name_matcher_spark.operators.jpeg import encode_jpeg
+from name_matcher_spark.operators.video import (
+    encode_avi_mjpeg,
+    iter_avi_frames,
+    resize_area,
+    resize_images,
+    sample_video_frames,
+)
+
+
+def _tile_frame(seed: int, h: int = 12, w: int = 19) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    g = ((29 * seed + 13 * (x // 8) + 7 * (y // 8)) % 256).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def test_avi_round_trip_frame_payloads():
+    frames = [_tile_frame(i) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, fps=4)
+    payloads = list(iter_avi_frames(avi))
+    assert len(payloads) == 5
+    from name_matcher_spark.operators.jpeg import decode_jpeg
+
+    for i, p in enumerate(payloads):
+        assert (decode_jpeg(p) == frames[i]).all()  # q100 tile contract
+
+
+def test_avi_malformed_raises():
+    with pytest.raises(ValueError):
+        list(iter_avi_frames(b""))
+    with pytest.raises(ValueError):
+        list(iter_avi_frames(b"RIFF\x08\x00\x00\x00WAVE"))
+    good = encode_avi_mjpeg([_tile_frame(1)])
+    with pytest.raises(ValueError):
+        list(iter_avi_frames(good[:60]))  # header only, no movi
+
+
+def test_sample_video_frames_exact(spark):
+    vids = []
+    for mid in (3, 4):
+        frames = [_tile_frame(mid * 10 + i) for i in range(6)]
+        vids.append((mid, bytearray(encode_avi_mjpeg(frames))))
+    vids.append((9, bytearray(b"RIFF garbage")))
+    df = spark.createDataFrame(vids, "media_id long, content binary")
+    out = sample_video_frames(df, every_k=2).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    for mid in (3, 4):
+        for i in (0, 2, 4):  # every 2nd frame kept
+            r = by_key[(mid, i)]
+            want = _tile_frame(mid * 10 + i)[:, :, 0].mean()
+            assert (r.width, r.height) == (19, 12)
+            assert r.mean_r == r.mean_g == r.mean_b == want  # bit-exact
+        assert (mid, 1) not in by_key and (mid, 3) not in by_key
+    bad = by_key[(9, None)]
+    assert bad.width is None and bad.mean_r is None  # nulled, task alive
+
+
+def test_sample_video_frames_raise_posture(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not avi"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        sample_video_frames(df, on_error="raise").collect()
+
+
+def test_resize_area_integer_factor_exact():
+    # 2x2 integer factor: each output pixel is the exact 2x2 block mean
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize_area(px, 4, 4)
+    want = px.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    assert (out == np.clip(np.round(want), 0, 255).astype(np.uint8)).all()
+
+
+def test_resize_area_ragged_and_identity_and_gray():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (7, 11, 3), dtype=np.uint8)
+    out = resize_area(px, 3, 4)  # ragged boxes
+    assert out.shape == (3, 4, 3)
+    # brute-force the same uneven boxes
+    ys = np.floor(np.arange(4) * 7 / 3).astype(int)
+    xs = np.floor(np.arange(5) * 11 / 4).astype(int)
+    for oy in range(3):
+        for ox in range(4):
+            box = px[ys[oy]:ys[oy + 1], xs[ox]:xs[ox + 1]].reshape(-1, 3).mean(axis=0)
+            assert (out[oy, ox] == np.clip(np.round(box), 0, 255)).all()
+    assert (resize_area(px, 7, 11) == px).all()  # identity
+    g = rng.randint(0, 256, (9, 6), dtype=np.uint8)
+    assert resize_area(g, 3, 2).shape == (3, 2)
+    with pytest.raises(ValueError):
+        resize_area(px, 0, 4)
+
+
+def test_resize_images_spark_path(spark):
+    g = _tile_frame(7, 16, 16)[:, :, 0]  # gray tiles, 16x16 -> 2x2 tiles
+    rows = [
+        (1, "image/jpeg", bytearray(encode_jpeg(g, 100))),
+        (2, "image/jpeg", bytearray(b"\xff\xd8 junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, mime string, content binary")
+    out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    # each 8x8 tile is constant, so the 2x2 area resize IS the tile grid
+    tiles = g.reshape(2, 8, 2, 8).mean(axis=(1, 3))
+    assert out[1].mean_r == tiles.mean()
+    assert (out[1].width, out[1].height) == (2, 2)
+    assert out[2].mean_r is None
