@@ -20,6 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from name_matcher_spark import harness  # noqa: E402
 from name_matcher_spark.operators.clustering import cluster_pairs  # noqa: E402
+from name_matcher_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
 from name_matcher_spark.operators.fuzzy_join import match_fuzzy  # noqa: E402
 from name_matcher_spark.operators.prepare import prepare_persons  # noqa: E402
 from name_matcher_spark.session import get_spark  # noqa: E402
@@ -63,9 +64,7 @@ BENCH_QUERIES = {
     "dd_minhash_bands": harness.dd_minhash_bands,
     # Bench variant: long shingles + doc-frequency cap (the oracle
     # registry runs the same capped scale path, mirrored in its SQL).
-    "dd_ngram_jaccard": lambda spark, sf_dir: __import__(
-        "name_matcher_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
-    ).ngram_jaccard_pairs(
+    "dd_ngram_jaccard": lambda spark, sf_dir: ngram_jaccard_pairs(
         harness._docs(spark, sf_dir), k=12, threshold=0.5, max_doc_freq=250
     ),
     "txt_quality": harness.txt_quality,
@@ -93,7 +92,10 @@ BENCH_QUERIES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0  # suffixed dir names (sf0.1-old) must not kill the bench
 
     spark = get_spark(
         app_name="nms-bench",

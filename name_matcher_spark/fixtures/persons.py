@@ -140,7 +140,7 @@ def make_clean(size: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame, p
     """Clean corpus: A = 80% unique + 20% exact dups; B = 50% copies of
     A bases + 50% unique. Returns (a, b, labeled_pairs)."""
     rng = Lcg(seed)
-    unique_count = int(size * 0.8)
+    unique_count = max(1, int(size * 0.8))
     dup_count = size - unique_count
 
     base = [dict(_base_record(rng), base_idx=i) for i in range(unique_count)]
@@ -171,7 +171,7 @@ def make_dirty(size: int, seed: int = 1042) -> tuple[pd.DataFrame, pd.DataFrame,
     copies of A bases + 60% unique. Error mixture per
     benchmark_seed.rs:212-234 / 252-263; birthdate always exact."""
     rng = Lcg(seed)
-    unique_count = int(size * 0.7)
+    unique_count = max(1, int(size * 0.7))
     dup_count = size - unique_count
 
     base = [dict(_base_record(rng), base_idx=i) for i in range(unique_count)]
@@ -181,9 +181,9 @@ def make_dirty(size: int, seed: int = 1042) -> tuple[pd.DataFrame, pd.DataFrame,
         error_type = rng.next() % 5
         first, last, variant = src["first_name"], src["last_name"], "exact"
         if error_type == 0:
-            first, variant = _first_of(_add_typo(first, rng))
+            first, variant = _add_typo(first, rng)
         elif error_type == 1:
-            last, variant = _first_of(_add_typo(last, rng))
+            last, variant = _add_typo(last, rng)
         elif error_type == 2:
             first, v1 = _add_typo(first, rng)
             last, _ = _add_typo(last, rng)
@@ -211,9 +211,9 @@ def make_dirty(size: int, seed: int = 1042) -> tuple[pd.DataFrame, pd.DataFrame,
         error_type = rng.next() % 4
         first, last, variant = src["first_name"], src["last_name"], "exact"
         if error_type == 0:
-            first, variant = _first_of(_add_typo(first, rng))
+            first, variant = _add_typo(first, rng)
         elif error_type == 1:
-            last, variant = _first_of(_add_typo(last, rng))
+            last, variant = _add_typo(last, rng)
         b_records.append(
             {
                 "first_name": first,
@@ -237,10 +237,6 @@ def make_dirty(size: int, seed: int = 1042) -> tuple[pd.DataFrame, pd.DataFrame,
     )
     pairs = _labeled_pairs(a_records, b_records)
     return a, b, pairs
-
-
-def _first_of(t: tuple[str, str]) -> tuple[str, str]:
-    return t
 
 
 def _labeled_pairs(a_records: list[dict], b_records: list[dict]) -> pd.DataFrame:

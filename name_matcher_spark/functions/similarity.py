@@ -194,9 +194,21 @@ def _jaro_winkler_pct_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     a_arr = np.asarray(af, dtype="str")
     b_arr = np.asarray(bf, dtype="str")
     # Unique-pair dedup at C speed: name distributions are heavy-tailed,
-    # so candidate batches repeat the same pairs many times. \x1f never
-    # appears in normalized names.
-    keys = np.char.add(np.char.add(a_arr, "\x1f"), b_arr)
+    # so candidate batches repeat the same pairs many times. The key is
+    # LENGTH-PREFIXED ("{len(a)}\x1f{a}{b}"): a bare separator would be
+    # ambiguous for names that themselves contain it (normalize_text
+    # passes control chars through), collapsing two distinct pairs onto
+    # one key and scoring one of them wrong. Equal keys <=> equal
+    # (len(a), a+b) <=> equal (a, b).
+    keys = np.char.add(
+        np.char.add(
+            np.char.mod("%d\x1f", np.char.str_len(a_arr))
+            if len(a_arr)
+            else a_arr,
+            a_arr,
+        ),
+        b_arr,
+    )
     _, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
     ua, ub = a_arr[first_idx], b_arr[first_idx]
     lens_a = np.char.str_len(ua) if len(ua) else np.empty(0, dtype=int)

@@ -68,17 +68,29 @@ MIDDLE_POOL = [
 N_FIRST, N_LAST, N_MID = len(FIRST_POOL), len(LAST_POOL), len(MIDDLE_POOL)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_workdir(prefix: str):
+    """Self-cleaning work dir for the streaming harness queries: the
+    corpus copy + store + checkpoint are removed on success AND on any
+    failure inside the block (a failing sweep must not leak under
+    /tmp). Callers must MATERIALIZE (localCheckpoint / eager read)
+    anything they return — lazy plans over the dir would scan after
+    removal."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield work
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _sql_list(pool: list[str]) -> str:
     return "[" + ",".join("'" + p + "'" for p in pool) + "]"
-
-
-def _views_sql(sf_dir: str, *tables: str) -> str:
-    """DuckDB-side CTE prologue is unnecessary — the driver registers
-    the tables as views; this helper is used by local self-checks."""
-    return "\n".join(
-        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet');"
-        for t in tables
-    )
 
 
 # --- derived person tables --------------------------------------------------
@@ -556,7 +568,7 @@ FROM pa a JOIN pb b
   ON lower(a.first_name) = lower(b.first_name)
  AND lower(a.last_name) = lower(b.last_name)
  AND a.birthdate = b.birthdate
- AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
+ AND lower(a.middle_name) IS NOT DISTINCT FROM lower(b.middle_name)
 """
 
 
@@ -569,11 +581,19 @@ def lk_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INIT_SQL = (
+    "coalesce(nullif(upper(regexp_extract(strip_accents({col}), '[a-zA-Z]')), ''), '?')"
+)
+
+# Initials via _INIT_SQL (first ALPHABETIC char of the accent-stripped
+# name, '?' fallback) — the exact mirror of prepare.first_alpha_initial;
+# a bare upper(substr(name,1,1)) diverges on names starting with a
+# diacritic, apostrophe, or digit.
 LK_BLOCKING_SQL = f"""
 WITH pa AS ({PERSONS_A_SQL})
 SELECT CAST(year(birthdate) AS INT) AS birth_year,
-  upper(substr(first_name, 1, 1)) AS first_initial,
-  upper(substr(last_name, 1, 1)) AS last_initial,
+  {_INIT_SQL.format(col="first_name")} AS first_initial,
+  {_INIT_SQL.format(col="last_name")} AS last_initial,
   count(*) AS block_rows
 FROM pa GROUP BY 1, 2, 3
 """
@@ -586,7 +606,6 @@ def lk_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible strategies are oracle-checked; bkey_exact (custom
     soundex in the key) is covered by pytest."""
     from .operators.blocking_eval import blocking_quality
-    from .operators.exact import match_algo1
 
     pa = prepare_persons(persons_a(spark, sf_dir))
     pb = prepare_persons(persons_b(spark, sf_dir))
@@ -595,10 +614,6 @@ def lk_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa, pb, truth, strategies=("birthdate", "year_initials", "token_prefix")
     )
 
-
-_INIT_SQL = (
-    "coalesce(nullif(upper(regexp_extract(strip_accents({col}), '[a-zA-Z]')), ''), '?')"
-)
 
 LK_BLOCKING_QUALITY_SQL = f"""
 WITH pa AS ({{pa}}), pb AS ({{pb}}),
@@ -683,13 +698,24 @@ def lk_lev_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("birthdate").alias("bd"),
     )
     pairs = pa.join(pb, "bd")
+    # Filter on the RAW scores (like the oracle's WHERE on the
+    # unrounded expressions) and round only the projection: filtering
+    # on the rounded value would keep a pair whose raw score sits in
+    # [84.995, 85.0) that the oracle drops.
     scored = pairs.select(
         "id_1",
         "id_2",
-        F.round(lev_pct_col(F.col("fa"), F.col("fb")), 2).alias("lev_pct"),
-        F.round(jw_pct_expr(F.col("fa"), F.col("fb")), 2).alias("jw_pct"),
+        lev_pct_col(F.col("fa"), F.col("fb")).alias("_lev_raw"),
+        jw_pct_expr(F.col("fa"), F.col("fb")).alias("_jw_raw"),
     )
-    return scored.filter((F.col("lev_pct") >= 85.0) & (F.col("jw_pct") >= 85.0))
+    return scored.filter(
+        (F.col("_lev_raw") >= 85.0) & (F.col("_jw_raw") >= 85.0)
+    ).select(
+        "id_1",
+        "id_2",
+        F.round("_lev_raw", 2).alias("lev_pct"),
+        F.round("_jw_raw", 2).alias("jw_pct"),
+    )
 
 
 LK_LEV_JW_SQL = f"""
@@ -1082,24 +1108,26 @@ def lk_stream_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained in micro-batches into a maintained label store; final
     store must equal from-scratch clustering, so it carries the same
     recursive-CTE oracle as lk_clusters."""
-    import tempfile
-
     from .streaming.clustering import incremental_clusters, read_clusters
 
     pa = prepare_persons(persons_a(spark, sf_dir))
     pb = prepare_persons(persons_b(spark, sf_dir))
     pairs = match_algo1(pa, pb).select("id_1", "id_2", "confidence")
-    work = tempfile.mkdtemp(prefix="lk_stream_cc_")
-    src = f"{work}/src"
-    pairs.repartition(2).write.parquet(src)
-    q = incremental_clusters(
-        spark.readStream.schema(pairs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src),
-        f"{work}/labels", f"{work}/ck",
-    )
-    q.awaitTermination()
-    return read_clusters(spark, f"{work}/labels")
+    # _stream_workdir: the work dir (corpus copy + store + checkpoint)
+    # is removed on success AND on failure — repeated sweeps must not
+    # leak under /tmp. read_clusters materializes eagerly
+    # (localCheckpoint), so the result outlives the removal.
+    with _stream_workdir("lk_stream_cc_") as work:
+        src = f"{work}/src"
+        pairs.repartition(2).write.parquet(src)
+        q = incremental_clusters(
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            f"{work}/labels", f"{work}/ck",
+        )
+        q.awaitTermination()
+        return read_clusters(spark, f"{work}/labels")
 
 
 LK_CLUSTERS_SQL = f"""
@@ -1183,8 +1211,8 @@ WITH docs2 AS (
   FROM {from_tbl}
 ),
 offsets AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
-  FROM docs2 WHERE strlen(t) >= 5
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+  FROM docs2 WHERE length(t) >= 5
 ),
 grams AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM offsets
@@ -1210,23 +1238,26 @@ def dd_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket store. The union of emitted pairs provably equals the batch
     LSH candidate set, so the STREAMING path gets the full DuckDB
     minhash oracle (DD_MINHASH_SQL) — not just a rows check."""
-    import tempfile
-
     from .streaming.dedup import incremental_dedup
 
-    work = tempfile.mkdtemp(prefix="dd_stream_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    src = f"{work}/src"
-    docs.repartition(2).write.parquet(src)
-    q = incremental_dedup(
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src),
-        f"{work}/store", f"{work}/out", f"{work}/ck",
-        hash_fn="md5",
-    )
-    q.awaitTermination()
-    return spark.read.parquet(f"{work}/out").select("id_a", "id_b")
+    with _stream_workdir("dd_stream_") as work:
+        src = f"{work}/src"
+        docs.repartition(2).write.parquet(src)
+        q = incremental_dedup(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            f"{work}/store", f"{work}/out", f"{work}/ck",
+            hash_fn="md5",
+        )
+        q.awaitTermination()
+        # localCheckpoint: materialize before the work dir is removed
+        return (
+            spark.read.parquet(f"{work}/out")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
 
 
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,7 +1273,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DD_DUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE cand AS (
+WITH RECURSIVE cand AS MATERIALIZED (
   SELECT * FROM ({DD_MINHASH_SQL})
 ),
 edges AS (
@@ -1260,7 +1291,7 @@ comp AS (
 ),
 member AS (
   SELECT c.node, c.cluster_id,
-         strlen(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS n_chars
+         length(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS n_chars
   FROM comp c JOIN documents d ON d.doc_id = c.node
 )
 SELECT node AS doc_id, cluster_id,
@@ -1319,8 +1350,11 @@ def _dedup_tiers_sql(
         if max_doc_freq is not None
         else ""
     )
-    return f"""hashed AS (
-  SELECT doc_id, md5(t) AS h FROM {corpus}
+    return f"""hashed AS MATERIALIZED (
+  -- coalesce mirrors dedup_pipeline's NULL-text sentinel: a NULL-text
+  -- doc is its own singleton exact group ('kept'), never dropped
+  SELECT doc_id, coalesce(md5(t), '__null__' || CAST(doc_id AS VARCHAR)) AS h
+  FROM {corpus}
 ),
 assigned AS (
   SELECT hashed.doc_id, g.exact_canon
@@ -1328,14 +1362,14 @@ assigned AS (
     SELECT h, min(doc_id) AS exact_canon FROM hashed GROUP BY h
   ) g ON hashed.h = g.h
 ),
-surv AS (
+surv AS MATERIALIZED (
   SELECT c.doc_id, c.t
   FROM {corpus} c JOIN assigned a ON a.doc_id = c.doc_id
   WHERE a.doc_id = a.exact_canon
 ),
 off5 AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - {shingle_k - 1})) AS i
-  FROM surv WHERE strlen(t) >= {shingle_k}
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - {shingle_k - 1})) AS i
+  FROM surv WHERE length(t) >= {shingle_k}
 ),
 grams5 AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {shingle_k}) AS gram FROM off5
@@ -1353,13 +1387,13 @@ cand AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 off3 AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - {verify_k - 1})) AS i
-  FROM surv WHERE strlen(t) >= {verify_k}
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - {verify_k - 1})) AS i
+  FROM surv WHERE length(t) >= {verify_k}
 ),
 grams3_all AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {verify_k}) AS gram FROM off3
 ),
-grams3 AS (
+grams3 AS MATERIALIZED (
   SELECT doc_id, gram FROM grams3_all{gram_cut}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams3 GROUP BY doc_id),
@@ -1370,7 +1404,7 @@ inter AS (
   JOIN grams3 b ON b.doc_id = c.id_b AND b.gram = a.gram
   GROUP BY c.id_a, c.id_b
 ),
-verified AS (
+verified AS MATERIALIZED (
   SELECT i.id_a, i.id_b
   FROM inter i
   JOIN sizes na ON i.id_a = na.doc_id
@@ -1389,7 +1423,7 @@ reach(node, lbl) AS (
 ),
 comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
 member AS (
-  SELECT c.node, c.cluster_id, strlen(s.t) AS n_chars
+  SELECT c.node, c.cluster_id, length(s.t) AS n_chars
   FROM comp c JOIN surv s ON s.doc_id = c.node
 ),
 ranked AS (
@@ -1426,7 +1460,7 @@ WITH RECURSIVE docs2 AS (
   UNION ALL
   SELECT doc_id + 100000, text FROM documents
 ),
-corpus AS (
+corpus AS MATERIALIZED (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
   FROM docs2
 ),
@@ -1452,13 +1486,13 @@ WITH docs2 AS (
   FROM documents
 ),
 offsets AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 2)) AS i
-  FROM docs2 WHERE strlen(t) >= 3
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+  FROM docs2 WHERE length(t) >= 3
 ),
-grams_all AS (
+grams_all AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM offsets
 ),
-grams AS (
+grams AS MATERIALIZED (
   SELECT doc_id, gram FROM grams_all
   WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING count(*) <= 100)
 ),
@@ -1513,8 +1547,8 @@ WITH docs2 AS (
   FROM {from_tbl}
 ),
 offsets AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 3)) AS i
-  FROM docs2 WHERE strlen(t) >= 4
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 3)) AS i
+  FROM docs2 WHERE length(t) >= 4
 ),
 grams AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram FROM offsets
@@ -1633,8 +1667,8 @@ docs5 AS (
   FROM ext
 ),
 off5 AS (
-  SELECT doc_id, t, unnest(generate_series(1, strlen(t) - 4)) AS i
-  FROM docs5 WHERE strlen(t) >= 5
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+  FROM docs5 WHERE length(t) >= 5
 ),
 g5 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram FROM off5),
 sz AS (SELECT doc_id, count(*) AS n FROM g5 GROUP BY doc_id),
@@ -1698,8 +1732,8 @@ def _quality_sql(from_tbl: str = "documents") -> str:
     return f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(CASE WHEN trim(text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(coalesce(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0) AS BIGINT) AS n_tokens,
   CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
        THEN round(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 4)
        ELSE 0.0 END AS mean_token_len,
@@ -2464,25 +2498,36 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, dim=64, k=5, bits=8, tables=4)
 
 
-def _lsh_sql() -> str:
-    from .operators.simsearch import lsh_hyperplanes
-
-    planes = lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42)
+def _hyperplane_sigs_sql(src: str, planes) -> str:
+    """UNION-ALL signature rows for ``src`` (vec_id, v) over the shared
+    lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42) literals — ONE
+    builder for every hyperplane oracle (_lsh_sql, _embed_neardup_sql):
+    a precision or bit-order tweak must hit them all or none."""
 
     def sig_expr(t: int) -> str:
         bits = []
-        for b in range(8):
+        for b in range(len(planes[t])):
             arr = "[" + ",".join(repr(p) for p in planes[t][b]) + "]"
             bits.append(
                 f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
             )
         return " || ".join(bits)
 
+    # ranges derive from the planes ARGUMENT: a call-site bits/tables
+    # change must change the emitted SQL, not silently truncate it
+    return "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS id, {t} AS tbl, {sig_expr(t)} AS sig FROM {src}"
+        for t in range(len(planes))
+    )
+
+
+def _lsh_sql() -> str:
+    from .operators.simsearch import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42)
+
     def sigs(src: str) -> str:
-        return "\n  UNION ALL\n".join(
-            f"  SELECT vec_id AS id, {t} AS tbl, {sig_expr(t)} AS sig FROM {src}"
-            for t in range(4)
-        )
+        return _hyperplane_sigs_sql(src, planes)
 
     return f"""
 WITH e AS (
@@ -2558,20 +2603,7 @@ def _embed_neardup_sql() -> str:
     from .operators.simsearch import lsh_hyperplanes
 
     planes = lsh_hyperplanes(dim=64, bits=8, tables=4, seed=42)
-
-    def sig_expr(t: int) -> str:
-        bits = []
-        for b in range(8):
-            arr = "[" + ",".join(repr(p) for p in planes[t][b]) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(bits)
-
-    sigs = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id AS id, {t} AS tbl, {sig_expr(t)} AS sig FROM vecs"
-        for t in range(4)
-    )
+    sigs = _hyperplane_sigs_sql("vecs", planes)
     cos = (
         "list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v))"
         " * sqrt(list_dot_product(vb.v, vb.v)))"
@@ -3094,31 +3126,33 @@ def wp_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side into micro-batches is exact — which means the batch
     ladder oracle (LK_FUZZY_SQL) applies to the streaming output too,
     the same way dd_stream_minhash carries the batch MinHash oracle."""
-    import tempfile
-
     from .streaming.linkage import incremental_linkage
 
     ensure_phonetic_sidecar(spark, sf_dir)
 
-    work = tempfile.mkdtemp(prefix="wp_stream_")
-    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pages = _persons_to_pages(persons_a(spark, sf_dir), "a")
-    # Two files -> at least two micro-batches with maxFilesPerTrigger=1.
-    pages.repartition(2).write.parquet(src)
-    ref = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
-    q = incremental_linkage(
-        spark.readStream.schema(pages.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src),
-        ref,
-        out,
-        ck,
-    )
-    q.awaitTermination()
-    return (
-        spark.read.parquet(out)
-        .select("id_1", "id_2", F.round("score", 4).alias("score"), "match_case")
-    )
+    with _stream_workdir("wp_stream_") as work:
+        src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+        pages = _persons_to_pages(persons_a(spark, sf_dir), "a")
+        # Two files -> at least two micro-batches, maxFilesPerTrigger=1.
+        pages.repartition(2).write.parquet(src)
+        ref = prepare_persons(persons_b(spark, sf_dir), include_middle=False)
+        q = incremental_linkage(
+            spark.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            ref,
+            out,
+            ck,
+        )
+        q.awaitTermination()
+        # localCheckpoint: materialize before the work dir is removed
+        return (
+            spark.read.parquet(out)
+            .select(
+                "id_1", "id_2", F.round("score", 4).alias("score"), "match_case"
+            )
+            .localCheckpoint(eager=True)
+        )
 
 
 def wp_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3193,8 +3227,10 @@ _DDB_PCT_CASE = f"""CASE
         OR {_DDB_PCT_CODE} BETWEEN 48 AND 57 OR {_DDB_PCT_CODE} IN (45, 46, 95, 126)
       THEN chr({_DDB_PCT_CODE}) ELSE upper(e) END"""
 
+# (?s) mirrors web.TRACKER_PARAM_RE's newline-smuggling hardening
+# (DuckDB RE2 accepts the same inline flag).
 _DDB_TRACKER_RE = (
-    "^(utm_[^=]*|fbclid|gclid|gclsrc|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
+    "(?s)^(utm_[^=]*|fbclid|gclid|gclsrc|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
 )
 
 # The messy-URL fixture in SQL — the DuckDB twin of harness._messy_urls;
@@ -3862,7 +3898,7 @@ a2 AS MATERIALIZED (
     ON lower(a.first_name) = lower(b.first_name)
    AND lower(a.last_name) = lower(b.last_name)
    AND a.birthdate = b.birthdate
-   AND coalesce(lower(a.middle_name), chr(1)) = coalesce(lower(b.middle_name), chr(1))
+   AND lower(a.middle_name) IS NOT DISTINCT FROM lower(b.middle_name)
 ),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n_pairs,

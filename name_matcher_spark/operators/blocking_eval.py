@@ -121,6 +121,14 @@ def blocking_quality(
         out = out.unionByName(df)
     return out.crossJoin(n1).crossJoin(n2).select(
         "strategy", "n_candidates", "n_truth", "n_covered", "recall",
-        F.round(1.0 - F.col("n_candidates") / (F.col("n1") * F.col("n2")), 6)
-        .alias("reduction"),
+        F.round(
+            # guard like recall's n_truth guard: an empty side makes
+            # the cross-product 0 (NaN, or DIVIDE_BY_ZERO under ANSI);
+            # with no possible pairs the reduction is definitionally 1
+            F.when(
+                F.col("n1") * F.col("n2") > 0,
+                1.0 - F.col("n_candidates") / (F.col("n1") * F.col("n2")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("reduction"),
     )

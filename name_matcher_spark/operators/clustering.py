@@ -155,8 +155,15 @@ def connected_components_bigstar(
         # Lazy checkpoint materialized by the signature agg below —
         # one full-scan job per round (see connected_components).
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # Sums in decimal(38,0): encoded nodes legitimately reach ~2^63
+        # (encode_edges admits |id| < 2^62), so a long partial sum of
+        # two such nodes already overflows — ARITHMETIC_OVERFLOW under
+        # ANSI, a silently wrong (still fixpoint-safe, but why risk it)
+        # signature without.
         sig = e.agg(
-            F.count("*").alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+            F.count("*").alias("c"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
         ).collect()[0]
         sig = (sig["c"], sig["su"], sig["sv"])
         if sig == prev_sig:
@@ -181,19 +188,63 @@ def cluster_pairs(
 
     Node namespace: table-A ids map to 2*id, table-B ids to 2*id+1 so
     the two id spaces never collide; cluster_id is the min encoded node
-    (stable, deterministic).
+    (stable, deterministic). Ids must be non-null and |id| < 2^62 (the
+    doubling headroom) — violations fail the job loudly at encode time
+    rather than landing a hash-range id in the wrong cluster. Decode is
+    pure integer bit arithmetic (shiftright / & 1), NOT floor(node/2):
+    long/long division goes through double in Spark SQL and silently
+    loses precision beyond 2^53 — exactly the range of xxhash64-derived
+    doc ids.
     """
-    edges = pairs.filter(F.col("confidence") >= threshold).select(
-        (F.col("id_1") * 2).alias("src"), (F.col("id_2") * 2 + 1).alias("dst")
-    )
+    edges = encode_edges(pairs, threshold)
     if method == "bigstar":
         comp = connected_components_bigstar(edges)
     elif method == "propagate":
         comp = connected_components(edges)
     else:
         raise ValueError(f"unknown clustering method: {method}")
+    return decode_components(comp)
+
+
+def encode_edges(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_1, id_2, confidence) -> (src, dst) in the shared node
+    namespace. Used by both the batch path above and the incremental
+    label store (streaming/clustering.py), so the two can never drift."""
+    id_cap = 1 << 62
+
+    def enc(col: str, off: int):
+        # Cast to long FIRST: shiftleft on an IntegerType column wraps
+        # at 32 bits (silent wrong id — the exact failure this guard
+        # exists to prevent). Range check via two comparisons, not
+        # abs(): abs(Long.MIN_VALUE) itself overflows under ANSI and
+        # wraps under non-ANSI (where MIN_VALUE would then encode to
+        # node 0 and merge into id 0's cluster).
+        v = F.col(col).cast("long")
+        guarded = F.assert_true(
+            v.isNotNull() & (v > F.lit(-id_cap)) & (v < F.lit(id_cap)),
+            # coalesce: concat(lit, NULL) is NULL, which would erase
+            # the whole error message exactly when the id is NULL
+            F.concat(
+                F.lit(f"cluster_pairs: {col} null or |id|>=2^62: "),
+                F.coalesce(v.cast("string"), F.lit("NULL")),
+            ),
+        )
+        # assert_true returns NULL on success; fold it in so it is not
+        # pruned as an unused projection.
+        return F.coalesce(guarded.cast("long"), F.shiftleft(v, 1) + F.lit(off))
+
+    return pairs.filter(F.col("confidence") >= threshold).select(
+        enc("id_1", 0).alias("src"), enc("id_2", 1).alias("dst")
+    )
+
+
+def decode_components(comp: DataFrame) -> DataFrame:
+    """(node, cluster_id) -> (side, id, cluster_id), inverse of
+    encode_edges over the full long range."""
     return comp.select(
-        F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
-        F.floor(F.col("node") / 2).cast("long").alias("id"),
+        F.when(F.col("node").bitwiseAND(F.lit(1)) == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        F.shiftright(F.col("node"), 1).alias("id"),
         F.col("cluster_id"),
     )

@@ -135,6 +135,12 @@ def band_buckets(
     streaming incremental dedup's bucket store. The bucket key is a
     string in BOTH hash modes (long signatures cast explicitly), so the
     streaming bucket store's schema is mode-independent."""
+    if num_hashes % bands:
+        # A remainder would silently compute-and-drop the tail hashes,
+        # quietly shifting the LSH operating point the caller asked for.
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         shingles(docs, id_col, text_col, k), id_col, num_hashes, hash_fn
@@ -347,9 +353,18 @@ def dedup_pipeline(
     result is materialized, or repeated calls in a long-lived session
     accumulate cache entries.
     """
+    # NULL text hashes to NULL and an equi-join on a NULL key matches
+    # nothing — without the sentinel, every NULL-text doc (routine in
+    # real crawls) silently VANISHES from the output, breaking the
+    # one-row-per-input-doc contract. The per-doc sentinel gives each
+    # its own singleton exact group: no content, no dedup decision,
+    # status 'kept'. (Oracle mirror: coalesce in _dedup_tiers_sql.)
     hashed = docs.select(
         F.col(id_col),
-        F.md5(F.encode(_norm_text(F.col(text_col)), "UTF-8")).alias("_h"),
+        F.coalesce(
+            F.md5(F.encode(_norm_text(F.col(text_col)), "UTF-8")),
+            F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+        ).alias("_h"),
     )
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_exact_canon"))
     assigned = hashed.join(canon, "_h").select(id_col, "_exact_canon")
@@ -446,8 +461,11 @@ def embedding_neardup_pairs(
 
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
-    from .simsearch import _dot, _norm, hyperplane_signatures
+    from .simsearch import _dot, _norm, drop_zero_vectors, hyperplane_signatures
 
+    # Zero/empty vectors: no direction -> no cosine; unguarded, one
+    # such row DIVIDE_BY_ZEROs the whole job under ANSI.
+    vectors = drop_zero_vectors(vectors, vec_col)
     sigs = hyperplane_signatures(
         vectors, id_col, vec_col, dim, bits, tables, seed
     )
@@ -554,6 +572,14 @@ def simhash_near_dupes(
     survives through its non-degenerate chunks). None = exact
     oracle-checked semantics.
     """
+    if max_hamming > 3:
+        # 4 chunks pigeonhole-guarantee recall only through hamming 3:
+        # at 4+ a pair can differ in every chunk and silently never
+        # meet — a recall hole indistinguishable from correct output.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            "bound (3); increase the chunk count to support it"
+        )
     fps = simhash64(docs, id_col, text_col, k, hash_fn=hash_fn)
     chunks = fps.select(
         F.col(id_col),
@@ -621,9 +647,20 @@ def dedup_clusters(
     corpus, so no skew concern beyond what AQE handles.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     from .clustering import connected_components, connected_components_bigstar
 
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # Fail at plan time: cast("long") on string ids would throw
+        # CAST_INVALID_INPUT mid-job under ANSI — or, with ANSI off,
+        # silently NULL every node and label all true near-dups 'kept'.
+        raise TypeError(
+            f"dedup_clusters requires an integral {id_col!r} "
+            f"(got {id_type.simpleString()}); map string ids to longs "
+            "(e.g. xxhash64) upstream"
+        )
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),

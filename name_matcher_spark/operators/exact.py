@@ -9,8 +9,11 @@ Reference semantics (src/matching/mod.rs:873-907):
 In Spark these are inner equi-joins on the normalized key columns.
 SQL null semantics (null != null) implement the "missing field
 disqualifies" rule for first/last/birthdate for free; the Some/None
-asymmetry of the middle name needs a null sentinel so that two nulls
-compare equal but null never equals a real value.
+asymmetry of the middle name is a NULL-SAFE equality (eqNullSafe /
+IS NOT DISTINCT FROM): two nulls compare equal, null never equals a
+real value. (A sentinel string would collide with a middle name that
+CONTAINS the sentinel — normalize_text passes control chars through —
+and silently upgrade a Some/None miss into a confidence-1.0 match.)
 
 The reference hash-joins on a composite string key "last\\x1Ffirst\\x1F
 {bd}" (mod.rs:2865-2895) and then re-verifies each candidate — in
@@ -24,17 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-# Sentinel for "middle name absent" — \x00 cannot appear in normalized
-# names, so (None, None) join-matches and (Some, None) never does.
-MIDDLE_NULL_SENTINEL = "\x00"
-
-PAIR_COLUMNS = [
-    "id_1", "uuid_1", "first_name_1", "middle_name_1", "last_name_1",
-    "birthdate", "id_2", "uuid_2", "first_name_2", "middle_name_2",
-    "last_name_2", "confidence", "match_case",
-]
-
 
 def _pair_projection(joined: DataFrame, match_case: str) -> DataFrame:
     return joined.select(
@@ -86,8 +78,9 @@ def match_algo1(p1: DataFrame, p2: DataFrame) -> DataFrame:
 
 
 def match_algo2(p1: DataFrame, p2: DataFrame) -> DataFrame:
-    """Algo 1 plus middle-name key with null-sentinel Some/None semantics."""
-    mid_key = F.coalesce(F.col("norm_middle"), F.lit(MIDDLE_NULL_SENTINEL))
+    """Algo 1 plus NULL-SAFE middle-name equality ((None, None) passes,
+    (Some, None) fails). EqualNullSafe is an equi-join key to Catalyst,
+    so this still plans as a hash join, never a nested loop."""
     left = p1.select(
         F.col("id").alias("l_id"),
         F.col("uuid").alias("l_uuid"),
@@ -95,10 +88,10 @@ def match_algo2(p1: DataFrame, p2: DataFrame) -> DataFrame:
         F.col("middle_name").alias("l_middle_name"),
         F.col("last_name").alias("l_last_name"),
         F.col("birthdate").alias("l_birthdate"),
-        F.col("norm_first").alias("k_first"),
-        F.col("norm_last").alias("k_last"),
-        F.col("birthdate").alias("k_bd"),
-        mid_key.alias("k_mid"),
+        F.col("norm_first").alias("l_kf"),
+        F.col("norm_last").alias("l_kl"),
+        F.col("birthdate").alias("l_kbd"),
+        F.col("norm_middle").alias("l_km"),
     )
     right = p2.select(
         F.col("id").alias("r_id"),
@@ -106,10 +99,17 @@ def match_algo2(p1: DataFrame, p2: DataFrame) -> DataFrame:
         F.col("first_name").alias("r_first_name"),
         F.col("middle_name").alias("r_middle_name"),
         F.col("last_name").alias("r_last_name"),
-        F.col("norm_first").alias("k_first"),
-        F.col("norm_last").alias("k_last"),
-        F.col("birthdate").alias("k_bd"),
-        mid_key.alias("k_mid"),
+        F.col("norm_first").alias("r_kf"),
+        F.col("norm_last").alias("r_kl"),
+        F.col("birthdate").alias("r_kbd"),
+        F.col("norm_middle").alias("r_km"),
     )
-    joined = left.join(right, on=["k_first", "k_last", "k_bd", "k_mid"], how="inner")
+    joined = left.join(
+        right,
+        (F.col("l_kf") == F.col("r_kf"))
+        & (F.col("l_kl") == F.col("r_kl"))
+        & (F.col("l_kbd") == F.col("r_kbd"))
+        & F.col("l_km").eqNullSafe(F.col("r_km")),
+        "inner",
+    )
     return _pair_projection(joined, "ALGO2")

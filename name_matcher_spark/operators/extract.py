@@ -78,11 +78,19 @@ def apply_column_mapping(
         physical = mapping.get(logical, logical)
         if physical in df.columns:
             cols.append(F.col(physical).alias(logical))
-        elif logical in OPTIONAL_COLUMNS:
+        elif logical in OPTIONAL_COLUMNS and logical not in mapping:
+            # NULL-backfill is only for columns the caller did NOT map:
+            # an EXPLICIT mapping that fails to resolve is a typo, and
+            # silently backfilling it would degrade recall with a
+            # "successful" run (uuid matching quietly matches nothing).
             cols.append(F.lit(None).cast("string").alias(logical))
         else:
             raise ValueError(
                 f"required column {logical!r} (physical {physical!r}) "
                 f"not found in {df.columns}"
+                if logical in REQUIRED_COLUMNS
+                else f"mapped optional column {logical!r} -> {physical!r} "
+                f"not found in {df.columns}; drop the mapping entry to "
+                "NULL-backfill instead"
             )
     return df.select(*cols)

@@ -56,9 +56,49 @@ _PAYLOAD_COLS = [
     "hh_id", "simple_first", "simple_middle", "simple_last", "full", "dmeta",
 ]
 _KEY_COLS = [
-    "id", "first_name", "birth_year", "first_initial", "last_initial",
+    "id", "norm_first", "birth_year", "first_initial", "last_initial",
     "sx_last", "block_key",
 ]
+
+
+def _pin(df: DataFrame, pins: list[DataFrame] | None) -> DataFrame:
+    """Persist (MEMORY_AND_DISK) unless the caller already did, and
+    record in ``pins`` so long-lived callers (streaming micro-batches)
+    can unpersist after materializing. ONE definition — the pinning
+    discipline must not fork per call site."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if pins is not None:
+        pins.append(df)
+    return df
+
+
+def _cap_hot_groups(
+    df: DataFrame, key_cols: list[str], max_block_rows: int
+) -> DataFrame:
+    """Drop build-side rows whose FALLBACK-branch group exceeds the
+    cap. The fallback branches (coarser keys than branch 1) have no
+    recall-safe refinement: their group keys already use every
+    component the branch semantics allow, so an oversized group —
+    a placeholder-year + common-soundex pileup — can only be excluded
+    or allowed to go quadratic. Excluding mirrors the LSH
+    degenerate-bucket cap: fallbacks are best-effort recall recovery
+    for edge-case records, and a multi-million-row degenerate group is
+    exactly the shape that must not multiply every probe. No-op (one
+    cheap aggregate + semi-join on the cached narrow table) when
+    nothing is hot."""
+    hot = (
+        df.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > max_block_rows)
+        .select(*key_cols)
+    )
+    # hot keys are rare by construction -> tiny broadcast; the common
+    # no-hot-keys case is one aggregate over the cached narrow table
+    # and an anti-join against an empty build side.
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def _prefixed(df: DataFrame, prefix: str, cols: list[str]) -> DataFrame:
@@ -134,25 +174,19 @@ def candidates_bkey_cascade(
     materializing — otherwise cache entries accumulate per call.
     """
 
-    def _persist(df: DataFrame) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if pins is not None:
-            pins.append(df)
-        return df
-
     # Persist the narrow tables BEFORE anything consumes them: every
     # downstream use (hot-key count, three join branches, broadcasts)
     # must read the cache, not re-run the normalization UDF chain — at
     # high parallelism those recomputations run as concurrent Python
     # stages and oversubscribe the executor cores.
-    left = _persist(_prefixed(p1, "l_", _KEY_COLS))
-    right = _persist(_prefixed(p2, "r_", _KEY_COLS))
+    left = _pin(_prefixed(p1, "l_", _KEY_COLS), pins)
+    right = _pin(_prefixed(p2, "r_", _KEY_COLS), pins)
     if max_block_rows:
         refined = _refine_hot_blocks(left, right, max_block_rows)
         if refined is not None:
             left, right = refined
-            left = _persist(left)
-            right = _persist(right)
+            left = _pin(left, pins)
+            right = _pin(right, pins)
 
     # Branch 1: exact BKey. Left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -162,8 +196,17 @@ def candidates_bkey_cascade(
     left2 = j1.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 2: probe key with first_initial '?' — matches build rows
-    # whose first name has no alphabetic char.
+    # whose first name has no alphabetic char. COARSER key than branch
+    # 1, with no refinement component left (the '?' rows have no
+    # phonetic first-name content) — so the skew cap EXCLUDES oversized
+    # (year, li, sx) build groups instead (see _cap_hot_groups).
     right_q = right.filter(F.col("r_first_initial") == "?")
+    if max_block_rows:
+        right_q = _cap_hot_groups(
+            right_q,
+            ["r_birth_year", "r_last_initial", "r_sx_last"],
+            max_block_rows,
+        )
     j2 = left2.join(
         right_q,
         (F.col("l_birth_year") == F.col("r_birth_year"))
@@ -175,11 +218,20 @@ def candidates_bkey_cascade(
     left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 3: coarse soundex — probe's soundex with digits 3-4 zeroed
-    # must equal the build row's FULL soundex.
+    # must equal the build row's FULL soundex. Same cap treatment: the
+    # branch key is components, so branch 1's block_key refinement does
+    # NOT protect it.
+    right3 = right
+    if max_block_rows:
+        right3 = _cap_hot_groups(
+            right3,
+            ["r_birth_year", "r_first_initial", "r_last_initial", "r_sx_last"],
+            max_block_rows,
+        )
     coarse = F.concat(F.substring(F.col("l_sx_last"), 1, 2), F.lit("00"))
     b3 = (
         left3.join(
-            right,
+            right3,
             (F.col("l_birth_year") == F.col("r_birth_year"))
             & (F.col("l_first_initial") == F.col("r_first_initial"))
             & (F.col("l_last_initial") == F.col("r_last_initial"))
@@ -220,7 +272,12 @@ def _refine_hot_blocks(
     hot_b = F.broadcast(hot)
 
     def extend(df: DataFrame, prefix: str) -> DataFrame:
-        key, first = f"{prefix}block_key", f"{prefix}first_name"
+        # norm_first, NOT the raw name: every other key component is
+        # built from normalized text, and soundex4 of a raw accented
+        # name ('Ángel' -> 'N240', the diacritic byte is dropped) would
+        # split accent-variant pairs into different refined blocks —
+        # losing direct-match-grade pairs exactly inside hot blocks.
+        key, first = f"{prefix}block_key", f"{prefix}norm_first"
         flagged = df.join(hot_b, df[key] == hot_b["hot_key"], "left")
         hot_rows = (
             flagged.filter(F.col("hot_key").isNotNull())
@@ -234,7 +291,10 @@ def _refine_hot_blocks(
 
 
 def candidates_algo7(
-    p1: DataFrame, p2: DataFrame, pins: list[DataFrame] | None = None
+    p1: DataFrame,
+    p2: DataFrame,
+    pins: list[DataFrame] | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Algorithm-7 candidate pairs (mod.rs:1151-1221): the reference's
     deprecated fuzzy-birthdate blocking. Per probe row:
@@ -251,16 +311,19 @@ def candidates_algo7(
     Branches are provably disjoint (different year or a probe set the
     earlier branches left empty), so no dedup pass is needed — same
     invariant the reference gets from its per-probe HashSet.
+
+    ``max_block_rows``: the same skew posture as the cascade — branch 1
+    refines hot block_keys with soundex4(norm_first); the coarser-key
+    branches (2-4) exclude oversized build groups (_cap_hot_groups).
     """
-
-    def _persist(df: DataFrame) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if pins is not None:
-            pins.append(df)
-        return df
-
-    left = _persist(_prefixed(p1, "l_", _KEY_COLS))
-    right = _persist(_prefixed(p2, "r_", _KEY_COLS))
+    left = _pin(_prefixed(p1, "l_", _KEY_COLS), pins)
+    right = _pin(_prefixed(p2, "r_", _KEY_COLS), pins)
+    if max_block_rows:
+        refined = _refine_hot_blocks(left, right, max_block_rows)
+        if refined is not None:
+            left, right = refined
+            left = _pin(left, pins)
+            right = _pin(right, pins)
 
     # 1. exact key, left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -271,6 +334,12 @@ def candidates_algo7(
 
     # 2. '?' first-initial fallback for probes branch 1 left empty.
     right_q = right.filter(F.col("r_first_initial") == "?")
+    if max_block_rows:
+        right_q = _cap_hot_groups(
+            right_q,
+            ["r_birth_year", "r_last_initial", "r_sx_last"],
+            max_block_rows,
+        )
     j2 = left2.join(
         right_q,
         (F.col("l_birth_year") == F.col("r_birth_year"))
@@ -281,13 +350,21 @@ def candidates_algo7(
     b2 = j2.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
     left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
 
+    right_comp = right
+    if max_block_rows:
+        right_comp = _cap_hot_groups(
+            right,
+            ["r_birth_year", "r_first_initial", "r_last_initial", "r_sx_last"],
+            max_block_rows,
+        )
+
     # 3. ±1 year for EVERY probe (not a fallback): band the range.
     banded = left.withColumn(
         "l_by_adj",
         F.explode(F.array(F.col("l_birth_year") - 1, F.col("l_birth_year") + 1)),
     )
     bpm = banded.join(
-        right,
+        right_comp,
         (F.col("l_by_adj") == F.col("r_birth_year"))
         & (F.col("l_first_initial") == F.col("r_first_initial"))
         & (F.col("l_last_initial") == F.col("r_last_initial"))
@@ -299,7 +376,7 @@ def candidates_algo7(
     left4 = left3.join(bpm.select("l_id").distinct(), "l_id", "left_anti")
     coarse = F.concat(F.substring(F.col("l_sx_last"), 1, 2), F.lit("00"))
     b4 = left4.join(
-        right,
+        right_comp,
         (F.col("l_birth_year") == F.col("r_birth_year"))
         & (F.col("l_first_initial") == F.col("r_first_initial"))
         & (F.col("l_last_initial") == F.col("r_last_initial"))
@@ -311,7 +388,10 @@ def candidates_algo7(
 
 
 def match_algo7(
-    p1: DataFrame, p2: DataFrame, pins: list[DataFrame] | None = None
+    p1: DataFrame,
+    p2: DataFrame,
+    pins: list[DataFrame] | None = None,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Algorithm 7 — fuzzy names (no middle) + fuzzy birthdate
     (compare_persons_algo7_no_mid, mod.rs:1139-1149). DEPRECATED in the
@@ -322,17 +402,8 @@ def match_algo7(
     """
     from ..functions.dates import algo7_score, birthdate_similarity_pct
 
-    def _pin(df: DataFrame) -> DataFrame:
-        lvl = df.storageLevel
-        if lvl.useMemory or lvl.useDisk:
-            return df
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if pins is not None:
-            pins.append(df)
-        return df
-
-    p1, p2 = _pin(p1), _pin(p2)
-    cands = candidates_algo7(p1, p2, pins=pins)
+    p1, p2 = _pin(p1, pins), _pin(p2, pins)
+    cands = candidates_algo7(p1, p2, pins=pins, max_block_rows=max_block_rows)
     lpay = _prefixed(p1, "l_", _PAYLOAD_COLS)
     rpay = _prefixed(p2, "r_", _PAYLOAD_COLS)
     pairs = cands.join(lpay, "l_id").join(rpay, "r_id")
@@ -415,16 +486,7 @@ def match_fuzzy(
     # Persist on the caller's behalf unless they already did — at scale
     # this is the standard "materialize the prepared table once"
     # discipline (MEMORY_AND_DISK: spills, never recomputes Python).
-    def _pin(df: DataFrame) -> DataFrame:
-        lvl = df.storageLevel
-        if lvl.useMemory or lvl.useDisk:
-            return df
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if pins is not None:
-            pins.append(df)
-        return df
-
-    p1, p2 = _pin(p1), _pin(p2)
+    p1, p2 = _pin(p1, pins), _pin(p2, pins)
 
     if blocking == "birthdate":
         cands = candidates_birthdate(p1, p2, max_block_rows)

@@ -95,6 +95,38 @@ def _best_assignment(
     return per_person.filter(F.col("_n_hh") == 1).drop("_n_hh")
 
 
+def _household_candidates(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Shared candidate filter for both household options: confidence
+    threshold, a T1 household key (uuid), and the T2 household key with
+    per-person fallback. One definition so the threshold / fallback
+    semantics cannot drift between options 5 and 6."""
+    return (
+        pairs.filter(F.col("confidence") >= threshold)
+        .filter(F.col("uuid_1").isNotNull())
+        .withColumn(
+            "hh_key", F.coalesce(F.col("hh_id_2"), F.col("id_2").cast("string"))
+        )
+    )
+
+
+def _household_report(
+    members: DataFrame, totals: DataFrame, join_cond
+) -> DataFrame:
+    """Shared tail: percentage vs household total, the >50% rule, the
+    report projection, and deterministic row ids."""
+    out = (
+        members.join(totals, join_cond, "inner")
+        .withColumn("match_percentage", F.col("members") / F.col("total") * 100.0)
+        .filter(F.col("match_percentage") > 50.0)
+        .select(
+            F.col("uuid_1").alias("uuid"),
+            F.col("hh_key").alias("hh_id"),
+            F.col("match_percentage"),
+        )
+    )
+    return _with_row_id(out)
+
+
 def households_option5(
     pairs: DataFrame, t1: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
@@ -102,13 +134,7 @@ def households_option5(
     (uuid = household key) and T2 (hh_id); t1: the FULL T1 table (for
     household totals). Returns (row_id, uuid, hh_id, match_percentage).
     """
-    cand = (
-        pairs.filter(F.col("confidence") >= threshold)
-        .filter(F.col("uuid_1").isNotNull())
-        .withColumn(
-            "hh_key", F.coalesce(F.col("hh_id_2"), F.col("id_2").cast("string"))
-        )
-    )
+    cand = _household_candidates(pairs, threshold)
     assigned = _best_assignment(cand, "id_1", "uuid_1", "hh_key")
     members = assigned.groupBy("uuid_1", "hh_key").agg(
         F.countDistinct("id_1").alias("members")
@@ -118,19 +144,9 @@ def households_option5(
         .groupBy("uuid")
         .agg(F.count("*").alias("total"))
     )
-    joined = members.join(totals, members["uuid_1"] == totals["uuid"], "inner")
-    out = (
-        joined.withColumn(
-            "match_percentage", F.col("members") / F.col("total") * 100.0
-        )
-        .filter(F.col("match_percentage") > 50.0)
-        .select(
-            F.col("uuid_1").alias("uuid"),
-            F.col("hh_key").alias("hh_id"),
-            F.col("match_percentage"),
-        )
+    return _household_report(
+        members, totals, members["uuid_1"] == totals["uuid"]
     )
-    return _with_row_id(out)
 
 
 def households_option6(
@@ -138,13 +154,7 @@ def households_option6(
 ) -> DataFrame:
     """Role-swapped: denominator is the T2 household size (hh_id with
     id fallback); best T1 uuid per T2 person, same tie-drop rule."""
-    cand = (
-        pairs.filter(F.col("confidence") >= threshold)
-        .filter(F.col("uuid_1").isNotNull())
-        .withColumn(
-            "hh_key", F.coalesce(F.col("hh_id_2"), F.col("id_2").cast("string"))
-        )
-    )
+    cand = _household_candidates(pairs, threshold)
     assigned = _best_assignment(cand, "id_2", "hh_key", "uuid_1")
     members = assigned.groupBy("uuid_1", "hh_key").agg(
         F.countDistinct("id_2").alias("members")
@@ -152,16 +162,6 @@ def households_option6(
     totals = t2.withColumn(
         "hh_key_t", F.coalesce(F.col("hh_id"), F.col("id").cast("string"))
     ).groupBy("hh_key_t").agg(F.count("*").alias("total"))
-    joined = members.join(totals, members["hh_key"] == totals["hh_key_t"], "inner")
-    out = (
-        joined.withColumn(
-            "match_percentage", F.col("members") / F.col("total") * 100.0
-        )
-        .filter(F.col("match_percentage") > 50.0)
-        .select(
-            F.col("uuid_1").alias("uuid"),
-            F.col("hh_key").alias("hh_id"),
-            F.col("match_percentage"),
-        )
+    return _household_report(
+        members, totals, members["hh_key"] == totals["hh_key_t"]
     )
-    return _with_row_id(out)

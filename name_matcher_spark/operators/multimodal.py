@@ -276,7 +276,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG: depth={depth} color={ct} interlace={interlace}"
         )
-    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 24:
+        # The PER-AXIS caps alone still admit w=2^20 x h=8k ~ 26 GB of
+        # inflate from a few MB of deflate (PNG is compressed, so file
+        # size does not bound the allocation the way BMP's does); the
+        # PRODUCT cap (16 Mpixel) bounds both the inflate and the
+        # unfilter buffer.
         raise ValueError("bad dimensions")
     ch = _PNG_CHANNELS[ct]
     stride = w * ch
@@ -288,9 +293,14 @@ def decode_png(data: bytes) -> np.ndarray:
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), need)
+        # The flush probe must sit INSIDE the try: a stream corrupted
+        # past the first `need` bytes raises zlib.error HERE, and a
+        # raw zlib.error violates the raises-ValueError contract that
+        # the on_error='null' production path catches.
+        over = dec.decompress(b"", 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from None
-    if len(raw) != need or dec.decompress(b"", 1) or not dec.eof or dec.unused_data:
+    if len(raw) != need or over or not dec.eof or dec.unused_data:
         raise ValueError("IDAT length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]
@@ -369,7 +379,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+    if not channels or channels < 1:
+        raise ValueError("bad channel count")
+    flat = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+    # Honor the documented [n, channels] shape: interleaved multi-
+    # channel PCM silently misread as mono doubles the sample count
+    # and corrupts every duration-derived feature downstream.
+    n = len(flat) // channels
+    samples = flat[: n * channels].reshape(n, channels)
     return samples, sample_rate
 
 

@@ -44,14 +44,23 @@ def with_partition_key(
 
 
 def write_partitioned(df: DataFrame, path: str, strategy: str = "last_initial") -> None:
-    """Partition-pruned, per-shard-resumable output layout."""
-    with_partition_key(df, strategy).write.mode("overwrite").partitionBy(
-        "part_key"
-    ).parquet(path)
+    """Partition-pruned output layout with DYNAMIC partition overwrite:
+    the write replaces only the part_key shards present in ``df``. A
+    resumable re-run therefore filters ``df`` to its missing shards and
+    calls this again — completed shards survive. (Static overwrite —
+    the Spark default — would wipe the whole path first, making
+    per-shard resume impossible.)"""
+    with_partition_key(df, strategy).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_key").parquet(path)
 
 
 def salted_repartition(
-    df: DataFrame, key_col: str, salt_buckets: int, salt_col: str = "_salt"
+    df: DataFrame,
+    key_col: str,
+    salt_buckets: int,
+    salt_col: str = "_salt",
+    discriminator_cols: list[str] | None = None,
 ) -> DataFrame:
     """Hot-key defusal for a skewed shuffle (north rule: "salted
     repartitioning to defuse hot keys").
@@ -68,8 +77,19 @@ def salted_repartition(
     refinement in fuzzy_join (extends the key semantically) or AQE
     skew-join splitting — salting a join key requires exploding the
     other side by salt_buckets, which this helper deliberately does
-    not hide."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    not hide.
+
+    LIMIT of content-derived salt: byte-identical duplicate rows all
+    hash to ONE salt value, so a hot key made of exact duplicates
+    still lands in one task. Pass ``discriminator_cols`` naming a
+    row-unique column (an id, a file offset) when the input can carry
+    duplicates — determinism is preserved and the pileup actually
+    spreads. (A random/rowid salt would spread it too, but breaks the
+    stable-placement property checkpoint lineage relies on.)"""
+    hash_cols = discriminator_cols or df.columns
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt_buckets)
+    )
     out = df.withColumn(salt_col, salt.cast("int"))
     return out.repartition(F.col(key_col), F.col(salt_col))
 
@@ -77,10 +97,15 @@ def salted_repartition(
 def salted_count(
     df: DataFrame, key_col: str, salt_buckets: int = 32
 ) -> DataFrame:
-    """Two-phase skew-safe groupBy count: partial count per (key,
-    salt), then merge per key. Same result as groupBy(key).count(),
-    but the heaviest key costs at most 1/salt_buckets of itself per
-    task in phase 1."""
+    """Two-phase salted aggregation, demonstrated on count. NOTE: for
+    plain count specifically, Spark's map-side partial aggregation
+    already reduces each hot key to one row per input partition before
+    the shuffle — ``groupBy(key).count()`` is never skewed and is
+    CHEAPER than this (salting first forces a full raw-row exchange).
+    The two-phase pattern earns its cost only for aggregates WITHOUT a
+    map-side combine — exact distinct counts, collect_set-style
+    accumulations — where phase 1 genuinely caps the heaviest key at
+    1/salt_buckets per task; use this as the template for those."""
     salted = salted_repartition(df, key_col, salt_buckets)
     partial = salted.groupBy(key_col, "_salt").count()
     return partial.groupBy(key_col).agg(F.sum("count").alias("count"))

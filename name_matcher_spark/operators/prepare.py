@@ -110,23 +110,25 @@ def prepare_persons(df: DataFrame, include_middle: bool = True) -> DataFrame:
         .withColumn("sx_last", soundex4_col(F.col("norm_last")))
     )
     # Composite key of the reference BKey (year, first init, last init,
-    # soundex4(last)) — mod.rs:1045. Rows with no birthdate or name can
-    # never match (birthdate equality gate), key is null -> dropped by
-    # the inner join.
+    # soundex4(last)) — mod.rs:1045. F.concat, NOT concat_ws: concat_ws
+    # silently SKIPS a NULL birth_year, giving every dateless record a
+    # 3-part key and block-matching all of them against each other — a
+    # quadratic pileup the birthdate gate only discards AFTER the
+    # payload join. concat null-propagates, so a dateless row's key is
+    # NULL and drops out of the join (initials fall back to '?' and
+    # sx_last to '0000', so birth_year is the only nullable part —
+    # the documented "key is null -> dropped" invariant actually holds;
+    # blocking_eval.py pins the same hazard for its own keys).
     out = out.withColumn(
         "block_key",
-        F.concat_ws(
-            "|",
+        F.concat(
             F.col("birth_year").cast("string"),
+            F.lit("|"),
             F.col("first_initial"),
+            F.lit("|"),
             F.col("last_initial"),
+            F.lit("|"),
             F.col("sx_last"),
         ),
     )
     return out
-
-
-def with_prefix(df: DataFrame, prefix: str, keep: list[str] | None = None) -> DataFrame:
-    """Rename every column with a prefix (join-side disambiguation)."""
-    cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
-    return df.select(*cols)

@@ -39,6 +39,15 @@ def _norm(a):
     )
 
 
+def drop_zero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude zero/empty/null embeddings from similarity operators: a
+    zero vector has no direction, and unguarded it is not merely a bad
+    answer — ONE such row (a padding/failed-encode artifact, routine in
+    real embedding exports) fails the entire job with DIVIDE_BY_ZERO
+    under Spark 4's default ANSI mode."""
+    return df.filter(_norm(F.col(vec_col)) > 0)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,10 +61,12 @@ def cosine_topk(
     streamed through the broadcast-nested-loop in one pass with no
     corpus shuffle until the final per-query top-k (a tiny aggregate).
     """
-    q = queries.select(
+    q = drop_zero_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    c = drop_zero_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id")).select(
         "query_id",
         "corpus_id",
@@ -107,6 +118,18 @@ def hyperplane_signatures(
     driver-side as literal arrays; signature computation is JVM-only.
     """
     planes = lsh_hyperplanes(dim, bits, tables, seed)
+    # Loud length check folded into the table column (assert_true is
+    # NULL on success; coalesce keeps it from being pruned): a vector
+    # whose length != dim would otherwise NULL every projection and
+    # collapse into the all-zeros signature — one degenerate bucket
+    # holding every malformed row, i.e. a silent all-pairs join.
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == F.lit(dim),
+        F.concat(
+            F.lit("hyperplane_signatures: vector length != dim: "),
+            F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
+        ),
+    )
     sig_cols = []
     for t in range(tables):
         bit_exprs = []
@@ -122,7 +145,10 @@ def hyperplane_signatures(
             )
             bit_exprs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         sig_cols.append(
-            F.struct(F.lit(t).alias("table"), F.concat(*bit_exprs).alias("sig"))
+            F.struct(
+                F.coalesce(guard.cast("int"), F.lit(t)).alias("table"),
+                F.concat(*bit_exprs).alias("sig"),
+            )
         )
     return df.select(
         F.col(id_col), F.explode(F.array(*sig_cols)).alias("s")
@@ -148,6 +174,8 @@ def ivf_cosine_topk(
     queries probe their nprobe nearest lists; candidates re-rank with
     exact cosine. Corpus is scanned once for assignment and never
     shuffled except by inverted-list id."""
+    corpus = drop_zero_vectors(corpus, vec_col)
+    queries = drop_zero_vectors(queries, vec_col)
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
@@ -224,6 +252,8 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: signature equi-join for candidates, exact
     cosine re-rank of candidates only."""
+    corpus = drop_zero_vectors(corpus, vec_col)
+    queries = drop_zero_vectors(queries, vec_col)
     csig = hyperplane_signatures(corpus, id_col, vec_col, dim, bits, tables, seed)
     qsig = hyperplane_signatures(queries, id_col, vec_col, dim, bits, tables, seed)
     cand = (

@@ -110,10 +110,15 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty text -> 0."""
+    """Whitespace tokenization; empty OR NULL text -> 0 (crawls have
+    null-text rows, and a NULL/-1 count would let a min-token filter
+    drop them silently — the exact posture repetition_metrics pins)."""
     trimmed = F.trim(text)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, "\\s+"))
+    return F.coalesce(
+        F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, "\\s+"))
+        ),
+        F.lit(0),
     ).cast("long")
 
 

@@ -165,7 +165,10 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
-                mid = int(mid)
+                # NULL media_id arrives as NaN (Arrow nullable int ->
+                # float64); int(NaN) would crash the task BEFORE the
+                # on_error='null' path could engage.
+                mid = None if pd.isna(mid) else int(mid)
                 try:
                     for i, payload in enumerate(iter_avi_frames(bytes(blob))):
                         if i % every_k:
@@ -212,13 +215,19 @@ def resize_area(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     np.cumsum(np.cumsum(px, axis=0), axis=1, out=ii[1:, 1:])
     ys = np.floor(np.arange(out_h + 1) * h / out_h).astype(np.int64)
     xs = np.floor(np.arange(out_w + 1) * w / out_w).astype(np.int64)
+    # UPSCALE guard: when a target dimension exceeds the source, some
+    # boxes would be empty (zero area -> 0/0 -> NaN -> undefined uint8
+    # cast, i.e. silent garbage pixels). Replicate instead: every box
+    # spans at least one source pixel (lo <= h-1 always, so lo+1 <= h).
+    ys_lo, ys_hi = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    xs_lo, xs_hi = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     sums = (
-        ii[ys[1:], :, :][:, xs[1:], :]
-        - ii[ys[:-1], :, :][:, xs[1:], :]
-        - ii[ys[1:], :, :][:, xs[:-1], :]
-        + ii[ys[:-1], :, :][:, xs[:-1], :]
+        ii[ys_hi, :, :][:, xs_hi, :]
+        - ii[ys_lo, :, :][:, xs_hi, :]
+        - ii[ys_hi, :, :][:, xs_lo, :]
+        + ii[ys_lo, :, :][:, xs_lo, :]
     )
-    areas = (ys[1:] - ys[:-1])[:, None, None] * (xs[1:] - xs[:-1])[None, :, None]
+    areas = (ys_hi - ys_lo)[:, None, None] * (xs_hi - xs_lo)[None, :, None]
     out = np.clip(np.round(sums / areas), 0, 255).astype(np.uint8)
     return out[:, :, 0] if gray else out
 
@@ -262,7 +271,7 @@ def resize_images(
         for pdf in batches:
             rows = []
             for mid, mime, blob in zip(pdf[id_col], pdf[mime_col], pdf[content_col]):
-                mid = int(mid)
+                mid = None if pd.isna(mid) else int(mid)
                 decode = decoders.get(mime)
                 if decode is None:
                     raise NotImplementedError(f"no image codec for {mime!r}")

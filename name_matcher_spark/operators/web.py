@@ -126,16 +126,20 @@ def _interleave_decode(col: Column, token_re: str, decode_one) -> Column:
     decoded = F.transform(toks, decode_one)
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     pieces = F.zip_with(decoded, tail, lambda d, p: F.concat(d, p))
-    return F.concat(
-        F.element_at(parts, 1),
-        F.aggregate(pieces, F.lit(""), lambda acc, x: F.concat(acc, x)),
-    )
+    # array_join, NOT aggregate+concat: the fold copies the growing
+    # accumulator once per token — O(n^2) bytes on entity-dense pages.
+    return F.concat(F.element_at(parts, 1), F.array_join(pieces, ""))
+
 
 
 def decode_html_entities(col: Column) -> Column:
     """Single-pass entity decode (``&amp;lt;`` yields the literal text
-    ``&lt;``, like html.unescape)."""
-    return _interleave_decode(col, _ENT_TOKEN_RE, _decode_entity)
+    ``&lt;``, like html.unescape). Gated on contains('&') so
+    entity-free pages skip the 5-pass interleave machinery entirely
+    (same fast path as normalize_percent_encoding's '%' gate)."""
+    return F.when(
+        col.contains("&"), _interleave_decode(col, _ENT_TOKEN_RE, _decode_entity)
+    ).otherwise(col)
 
 
 _WS_RE = "[ \\t\\n\\r\\f\\x0B\\x{00A0}]+"
@@ -173,8 +177,11 @@ def html_to_text(col: Column) -> Column:
 # content selectors), and collapsing distinct pages into one canonical
 # key makes url_dedup_groups silently discard content. Callers with an
 # aggressive policy pass their own tracker_re to canonical_url.
+# (?s): a newline smuggled into a tracker VALUE (raw or via %0A
+# percent-normalization) must not defeat the '=.*$' tail — the same
+# hardening the fragment/path/query regexes carry.
 TRACKER_PARAM_RE = (
-    "^(utm_[^=]*|fbclid|gclid|gclsrc|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
+    "(?s)^(utm_[^=]*|fbclid|gclid|gclsrc|mc_cid|mc_eid|igshid|msclkid)(=.*)?$"
 )
 
 _PCT_TOKEN_RE = "%[0-9A-Fa-f]{2}"

@@ -293,11 +293,25 @@ class TableStageCheckpoint(StageCheckpoint):
         ensure_namespace(spark, f"{prefix}_manifest")
 
     def _table(self, stage: str) -> str:
+        import re
+
         if stage == "manifest":
             # {prefix}_manifest IS the manifest table; a stage of that
             # name would overwrite every stage's lineage rows.
             raise ValueError(
                 "'manifest' is reserved (collides with the manifest table)"
+            )
+        # Reject BEFORE the (possibly expensive) stage build runs. The
+        # stage must be a bare identifier segment, not merely make the
+        # COMPOSED ref parse: 'pairs-fuzzy' would route write_table to
+        # its filesystem-path branch (stray dir in the driver cwd), and
+        # 'pairs.fuzzy' would parse as a 2-part ref into a database
+        # ('{prefix}_pairs') that was never created — either way the
+        # build is wasted and resume never commits.
+        if not re.fullmatch(r"[A-Za-z0-9_]+", stage):
+            raise ValueError(
+                f"stage {stage!r} is not a valid identifier segment; "
+                "use [a-zA-Z0-9_] stage names"
             )
         return f"{self.prefix}_{stage}"
 
@@ -306,6 +320,8 @@ class TableStageCheckpoint(StageCheckpoint):
         return f"{self.prefix}_manifest"
 
     def _load_manifest(self, stage: str) -> dict | None:
+        self._table(stage)  # validate the stage name up front, before
+        # is_complete can miss and run_stage launches the build
         if not self.spark.catalog.tableExists(self._manifest_table):
             return None
         rows = (

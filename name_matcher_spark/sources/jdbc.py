@@ -49,7 +49,14 @@ def _mapped_case_insensitive(df: DataFrame, mapping: dict[str, str]) -> DataFram
     resolved = {}
     for logical in REQUIRED_COLUMNS + OPTIONAL_COLUMNS:
         physical = mapping.get(logical, logical)
-        resolved[logical] = by_fold.get(physical.lower(), physical)
+        hit = by_fold.get(physical.lower())
+        if hit is not None:
+            resolved[logical] = hit
+        elif logical in mapping:
+            # keep the CALLER's unresolvable entry so
+            # apply_column_mapping raises on the typo; identity misses
+            # stay unmapped so optional columns NULL-backfill
+            resolved[logical] = physical
     return apply_column_mapping(df, resolved)
 
 
@@ -115,7 +122,18 @@ def read_persons_jdbc(
             if lo is None or hi is None:
                 # empty table: a plain single-partition read is correct
                 return _mapped_case_insensitive(reader.load(), mapping)
-            lower_bound, upper_bound = int(lo), int(hi)
+            # Honor a one-sided explicit bound: the probe fills ONLY the
+            # missing side, so a caller pinning lower_bound to the live
+            # id range keeps their stride concentration. Clamp the
+            # PROBED side toward the explicit one — Spark requires
+            # lowerBound <= upperBound, and bounds never filter rows,
+            # so a degenerate equal-bounds window is safe.
+            if lower_bound is None:
+                lower_bound = (
+                    int(lo) if upper_bound is None else min(int(lo), upper_bound)
+                )
+            if upper_bound is None:
+                upper_bound = max(int(hi), lower_bound)
         reader = (
             reader.option("partitionColumn", part_col)
             .option("lowerBound", str(lower_bound))

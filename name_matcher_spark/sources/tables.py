@@ -171,7 +171,14 @@ def _remove_stale_managed_location(spark: SparkSession, ref: str) -> None:
     if wh.scheme not in ("", "file") or not wh.path:
         return
     if len(parts) == 1:
-        loc = os.path.join(wh.path, parts[0].lower())
+        # A 1-part ref resolves against the session's CURRENT database
+        # (which is what tableExists/saveAsTable used above), not
+        # necessarily `default` — deriving the location from the
+        # default layout here could rmtree a LIVE default.<t> while
+        # leaving the actual stale location in place.
+        parts = [spark.catalog.currentDatabase(), parts[0]]
+    if parts[0].lower() == "default":
+        loc = os.path.join(wh.path, parts[1].lower())
     else:
         loc = os.path.join(wh.path, f"{parts[0].lower()}.db", parts[1].lower())
     if os.path.isdir(loc):

@@ -19,11 +19,17 @@ sinks; the workbook is for human review.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from collections.abc import Iterable, Iterator
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
+
+# Code points illegal in XML 1.0 even when entity-escaped (crawl text
+# can carry stray C0 controls or the U+FFFE/U+FFFF noncharacters);
+# Excel rejects the whole workbook on one.
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
 
 # Excel's hard sheet limit is 1,048,576 rows incl. header; default far
 # lower because a workbook this size is useless to a human anyway.
@@ -60,7 +66,11 @@ def _cell(v) -> str:
         return f'<c t="inlineStr"><is><t>{"true" if v else "false"}</t></is></c>'
     if isinstance(v, (int, float)):
         return f"<c><v>{v}</v></c>"
-    return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+    return (
+        '<c t="inlineStr"><is><t>'
+        f'{escape(_XML_ILLEGAL.sub("�", str(v)))}'
+        "</t></is></c>"
+    )
 
 
 def _sheet_xml(header: list[str], rows: Iterable[tuple], max_rows: int) -> Iterator[str]:
@@ -100,7 +110,10 @@ def write_xlsx(
             "xl/workbook.xml",
             _WB.format(
                 sheets="".join(
-                    f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+                    # quoteattr, not escape: escape() leaves double
+                    # quotes alone, which breaks out of the attribute
+                    f"<sheet name={quoteattr(_XML_ILLEGAL.sub(chr(0xFFFD), name))} "
+                    f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
                     for i, (name, _, _) in enumerate(sheets)
                 )
             ),

@@ -28,7 +28,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.clustering import connected_components
+from ..operators.clustering import (
+    connected_components,
+    decode_components,
+    encode_edges,
+)
 
 
 @contextlib.contextmanager
@@ -77,15 +81,19 @@ def apply_cluster_batch(
     ``labels_dir``. Idempotent (min-label components are absorbing), so
     both the streaming foreachBatch and an in-line caller (the
     long-lived linkage query folds clustering into its own batch; see
-    streaming/linkage.py) can retry it safely."""
+    streaming/linkage.py) can retry it safely.
+
+    Poison records: encode_edges FAILS the batch on a null or
+    out-of-range id (deliberate — silently dropping an edge corrupts
+    the accumulated store forever, while a deterministic batch failure
+    is diagnosable and resumable). The engine's own pipelines never
+    emit such ids; a feed that can must filter them before the sink,
+    because a poison row wedges the checkpoint on retry by design."""
     if pairs_df.isEmpty():
         return
     spark = pairs_df.sparkSession
     recover_store(labels_dir)
-    new_edges = pairs_df.filter(F.col("confidence") >= threshold).select(
-        (F.col("id_1") * 2).alias("src"),
-        (F.col("id_2") * 2 + 1).alias("dst"),
-    )
+    new_edges = encode_edges(pairs_df, threshold)
     tmp = f"{labels_dir}.next"
     # Missing store == first batch, checked EXPLICITLY: any other
     # read failure (corrupt parquet, transient IO) must fail the
@@ -160,8 +168,4 @@ def read_clusters(spark, labels_dir: str) -> DataFrame:
     with _store_lock(labels_dir):
         _recover_store_locked(labels_dir)
         snapshot = spark.read.parquet(labels_dir).localCheckpoint(eager=True)
-    return snapshot.select(
-        F.when(F.col("node") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
-        F.floor(F.col("node") / 2).cast("long").alias("id"),
-        F.col("cluster_id"),
-    )
+    return decode_components(snapshot)

@@ -64,17 +64,21 @@ def incremental_dedup(
         buckets = band_buckets(
             batch_df, id_col, text_col, k, num_hashes, bands, hash_fn
         ).persist()
+        def cap_small(df: DataFrame) -> DataFrame:
+            # Degenerate-bucket guard, shared by the batch and store
+            # sides so the cap semantics cannot silently diverge.
+            if max_bucket_size is None:
+                return df
+            small = (
+                df.groupBy("band", "key")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_bucket_size)
+                .select("band", "key")
+            )
+            return df.join(small, ["band", "key"], "leftsemi")
+
         try:
-            if max_bucket_size is not None:
-                small = (
-                    buckets.groupBy("band", "key")
-                    .agg(F.count("*").alias("_n"))
-                    .filter(F.col("_n") <= max_bucket_size)
-                    .select("band", "key")
-                )
-                joinable = buckets.join(small, ["band", "key"], "leftsemi")
-            else:
-                joinable = buckets
+            joinable = cap_small(buckets)
             new = joinable.select(
                 F.col(id_col).alias("id_b"), "band", "key"
             )
@@ -88,21 +92,33 @@ def incremental_dedup(
             # Missing store == first batch, checked explicitly: any
             # OTHER read failure (corrupt parquet, transient IO) must
             # fail the batch so the checkpoint retries, instead of
-            # silently dropping every accumulated bucket.
-            import os
+            # silently dropping every accumulated bucket. The check goes
+            # through the Hadoop FileSystem for store_dir's OWN scheme —
+            # a driver-local os.path.exists is always False for a remote
+            # store URI (s3://, hdfs://), which would silently disable
+            # cross-batch dedup for the engine's stated deploy target.
+            jvm = spark._jvm
+            store_path = jvm.org.apache.hadoop.fs.Path(store_dir)
+            store_fs = store_path.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            if store_fs.exists(store_path):
+                # Explicit schema (buckets + the batch_id partition
+                # column): a crashed partial first write can leave the
+                # dir existing with zero committed data files, and
+                # schema inference would then wedge every retry with
+                # UNABLE_TO_INFER_SCHEMA (same hazard as the linkage
+                # sink read-back).
+                from pyspark.sql.types import LongType, StructField
 
-            if os.path.exists(store_dir):
-                store = spark.read.parquet(store_dir).filter(
-                    F.col("batch_id") < batch_id
+                store_schema = buckets.schema.add(
+                    StructField("batch_id", LongType())
                 )
-                if max_bucket_size is not None:
-                    store_small = (
-                        store.groupBy("band", "key")
-                        .agg(F.count("*").alias("_n"))
-                        .filter(F.col("_n") <= max_bucket_size)
-                        .select("band", "key")
-                    )
-                    store = store.join(store_small, ["band", "key"], "leftsemi")
+                store = cap_small(
+                    spark.read.schema(store_schema)
+                    .parquet(store_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                )
                 cross_pairs = (
                     store.select(F.col(id_col).alias("id_a"), "band", "key")
                     .join(new, ["band", "key"])

@@ -79,10 +79,16 @@ def streaming_sessionize(
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = np.sort(pdf["ts"].astype("int64").to_numpy()) / 1e9
+        # A group's rows arrive as MULTIPLE Arrow chunks (bounded by
+        # arrow.maxRecordsPerBatch) in no guaranteed time order, so the
+        # gap diff must run over the concatenation sorted ONCE — sorting
+        # per-chunk and chaining through last_ts undercounts sessions
+        # whenever a later chunk holds earlier timestamps.
+        chunks = [
+            pdf["ts"].astype("int64").to_numpy() for pdf in pdfs if len(pdf)
+        ]
+        if chunks:
+            ts = np.sort(np.concatenate(chunks)) / 1e9
             first_new = 1 if last_ts is None or ts[0] - last_ts > gap_sec else 0
             n_sessions += first_new + int((np.diff(ts) > gap_sec).sum())
             n_events += len(ts)

@@ -86,10 +86,15 @@ def incremental_linkage(
             if cluster_labels_dir is not None:
                 from .clustering import apply_cluster_batch
 
+                # Explicit schema: a dynamic-overwrite write of an EMPTY
+                # partitioned DataFrame commits no data files, so on a
+                # zero-match first batch the sink holds only _SUCCESS and
+                # schema inference would throw UNABLE_TO_INFER_SCHEMA —
+                # failing the batch and wedging the checkpoint on retry.
                 apply_cluster_batch(
-                    batch_df.sparkSession.read.parquet(output_dir).filter(
-                        F.col("batch_id") == batch_id
-                    ),
+                    batch_df.sparkSession.read.schema(pairs.schema)
+                    .parquet(output_dir)
+                    .filter(F.col("batch_id") == batch_id),
                     cluster_labels_dir,
                     cluster_threshold,
                 )

@@ -208,3 +208,53 @@ def test_cluster_pairwise_f1_on_labeled_pairs(spark):
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     assert f1 >= 0.99, f"cluster pairwise F1={f1:.4f} (p={precision:.4f} r={recall:.4f})"
     assert actual, "labeled closure must be non-empty"
+
+
+def test_cluster_pairs_full_long_range_and_negative_ids(spark):
+    """Decode must be integer bit arithmetic: floor(node/2) goes
+    through double division and silently corrupts ids beyond 2^53 —
+    exactly the range of xxhash64-derived doc ids. Negative ids must
+    round-trip too."""
+    big = (1 << 60) + 7
+    pairs = spark.createDataFrame(
+        [(big, big - 1, 1.0), (-5, -6, 1.0)],
+        "id_1 long, id_2 long, confidence double",
+    )
+    got = {(r.side, r.id) for r in cluster_pairs(pairs).collect()}
+    assert {("a", big), ("b", big - 1), ("a", -5), ("b", -6)} <= got
+
+
+def test_cluster_pairs_int_typed_ids_do_not_wrap(spark):
+    """IntegerType id columns must be widened BEFORE the shift:
+    shiftleft on an int stays int and wraps at 32 bits, silently
+    decoding 1_500_000_000 to a negative id."""
+    pairs = spark.createDataFrame(
+        [(1_500_000_000, 1_500_000_001, 1.0)],
+        "id_1 int, id_2 int, confidence double",
+    )
+    got = {(r.side, r.id) for r in cluster_pairs(pairs).collect()}
+    assert {("a", 1_500_000_000), ("b", 1_500_000_001)} <= got
+
+
+def test_cluster_pairs_rejects_null_and_oversized_ids(spark):
+    """Null or >=2^62 ids cannot be encoded into the 2*id namespace;
+    they must fail LOUDLY at encode time, not land in a wrong cluster."""
+    import pytest as _pytest
+
+    bad_null = spark.createDataFrame(
+        [(None, 1, 1.0)], "id_1 long, id_2 long, confidence double"
+    )
+    with _pytest.raises(Exception, match="cluster_pairs"):
+        cluster_pairs(bad_null).collect()
+    bad_big = spark.createDataFrame(
+        [(1 << 62, 1, 1.0)], "id_1 long, id_2 long, confidence double"
+    )
+    with _pytest.raises(Exception, match="cluster_pairs"):
+        cluster_pairs(bad_big).collect()
+    # Long.MIN_VALUE must hit the SAME guard, not an abs() overflow
+    # (ANSI) or a silent wrap onto node 0 (non-ANSI)
+    bad_min = spark.createDataFrame(
+        [(-(1 << 63), 1, 1.0)], "id_1 long, id_2 long, confidence double"
+    )
+    with _pytest.raises(Exception, match="cluster_pairs"):
+        cluster_pairs(bad_min).collect()

@@ -95,7 +95,9 @@ def test_ngram_jaccard_doc_freq_cap(spark):
 def test_simhash_identical_and_near(docs):
     fps = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
     assert fps[1] == fps[2]
-    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dupes(docs, max_hamming=10).collect()}
+    # max_hamming capped at 3: the 4-chunk pigeonhole guarantees recall
+    # only through 3 (larger radii now raise instead of silently missing)
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dupes(docs, max_hamming=3).collect()}
     assert near[(1, 2)] == 0
     if (1, 3) in near:
         assert near[(1, 3)] > 0
@@ -409,3 +411,46 @@ def test_corpus_pipeline_ordering(spark):
     ex = {r.doc_id: r for r in exact_duplicates(kept).collect()}
     assert ex[1].canonical_id == 1 and ex[2].canonical_id == 1
     assert 3 not in ex and 4 not in ex
+
+
+def test_dedup_pipeline_null_text_kept_not_dropped(spark):
+    """NULL-text docs (routine in real crawls) must come back as
+    'kept' singleton rows — the NULL md5 key must not silently drop
+    them from the one-row-per-input-doc contract."""
+    from name_matcher_spark.operators.dedup import dedup_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None),
+         (3, "the quick brown fox jumps"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = dedup_pipeline(docs, minhash_hash_fn="md5").collect()
+    assert len(out) == 4
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].status == "kept" and by_id[2].canonical_id == 2
+    assert by_id[4].status == "kept" and by_id[4].canonical_id == 4
+    assert by_id[3].status == "exact_dup" and by_id[3].canonical_id == 1
+
+
+def test_dedup_clusters_rejects_string_ids(spark):
+    from name_matcher_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("d1", "aaa"), ("d2", "aab")], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        dedup_clusters(docs, pairs)
+
+
+def test_lsh_parameter_validation(spark):
+    from name_matcher_spark.operators.dedup import (
+        band_buckets,
+        simhash_near_dupes,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        band_buckets(docs, num_hashes=8, bands=3).collect()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dupes(docs, max_hamming=4).collect()

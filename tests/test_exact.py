@@ -60,3 +60,24 @@ def test_algo1_confidence_and_case(tables):
     t1, t2 = tables
     rows = match_algo1(t1, t2).collect()
     assert all(r.confidence == 1.0 and r.match_case == "ALGO1" for r in rows)
+
+
+def test_algo2_control_char_middle_does_not_match_missing(spark):
+    """A corrupt middle name containing a control byte must NOT match a
+    record with NO middle name — the old '\\x00' sentinel collided with
+    exactly such data; the null-safe join cannot."""
+    bd = date(1980, 5, 5)
+    p1 = prepare_persons(spark.createDataFrame(
+        [(1, "u", "Ann", "\x00", "Lee", bd, None)],
+        "id long, uuid string, first_name string, middle_name string, "
+        "last_name string, birthdate date, hh_id string",
+    ))
+    p2 = prepare_persons(spark.createDataFrame(
+        [(2, "v", "Ann", None, "Lee", bd, None)],
+        "id long, uuid string, first_name string, middle_name string, "
+        "last_name string, birthdate date, hh_id string",
+    ))
+    assert match_algo2(p1, p2).count() == 0
+    # and the plan is still a hash join (EqualNullSafe is an equi-key)
+    plan = match_algo2(p1, p2)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -147,3 +147,20 @@ def test_salted_count_matches_plain(spark):
     a = salted_repartition(df, "k", 16).select("k", "payload", "_salt")
     b = salted_repartition(df, "k", 16).select("k", "payload", "_salt")
     assert a.exceptAll(b).count() == 0
+
+
+def test_salted_repartition_discriminator_spreads_duplicates(spark):
+    """Byte-identical duplicate rows hash to ONE content salt; a
+    row-unique discriminator column must spread them."""
+    from name_matcher_spark.operators.partition_strategies import (
+        salted_repartition,
+    )
+
+    df = spark.range(256).select(
+        F.lit("hot").alias("k"), F.lit("same").alias("payload"),
+        F.col("id").alias("rowid"),
+    )
+    content = salted_repartition(df.drop("rowid"), "k", 16)
+    assert content.select("_salt").distinct().count() == 1
+    spread = salted_repartition(df, "k", 16, discriminator_cols=["rowid"])
+    assert spread.select("_salt").distinct().count() > 8

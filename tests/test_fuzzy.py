@@ -221,3 +221,71 @@ def test_provenance_recall_exact_variants(spark):
     }
     missing = exact_truth - predicted
     assert not missing, f"missed exact pairs: {sorted(missing)[:10]}"
+
+
+def test_dateless_records_do_not_block_match_each_other(spark):
+    """block_key must NULL-propagate on a missing birthdate: dateless
+    records can never pass the birthdate gate, so they must not
+    block-match every other dateless record (quadratic candidate
+    pileup BEFORE the gate)."""
+    from name_matcher_spark.operators.fuzzy_join import (
+        candidates_bkey_cascade,
+    )
+
+    rows1 = [(i, "u", "Ann", None, "Lee", None, None) for i in range(5)]
+    rows2 = [(100 + i, "v", "Ann", None, "Lee", None, None) for i in range(5)]
+    t1, t2 = _prep(spark, rows1, False), _prep(spark, rows2, False)
+    assert candidates_bkey_cascade(t1, t2).count() == 0
+
+
+def test_hot_block_refinement_keeps_accented_first_names(spark):
+    """The hot-block key extension must phoneticize the NORMALIZED
+    first name: raw-name soundex splits 'Ángel' vs 'Angel' into
+    different refined blocks and silently loses the pair."""
+    bd = date(1985, 3, 3)
+    probe = _prep(spark, [(1, "u", "Ángel", None, "Smith", bd, None)], False)
+    build = _prep(
+        spark,
+        [(1000 + i, "v", "Angel" if i == 0 else "James", None, "Smith", bd, None)
+         for i in range(40)],
+        False,
+    )
+    out = match_fuzzy(probe, build, include_middle=False, max_block_rows=10)
+    assert 1000 in {r.id_2 for r in out.collect()}
+
+
+def test_fallback_branch_pileup_is_capped(spark):
+    """Branch 2 (the '?'-first-initial fallback) joins on a coarser key
+    than branch 1 and must carry its own skew cap: an oversized
+    (year, li, sx) build pileup is excluded rather than multiplied
+    against every fall-through probe."""
+    from name_matcher_spark.operators.fuzzy_join import (
+        candidates_bkey_cascade,
+    )
+
+    bd = date(1900, 1, 1)
+    # probes that miss branch 1 (no '?' build row shares their block_key)
+    probes = _prep(
+        spark, [(i, "u", "Zed", None, "Smith", bd, None) for i in range(3)], False
+    )
+    # 200 build rows with non-alphabetic first names: branch-2 pileup
+    pile = _prep(
+        spark,
+        [(1000 + i, "v", "...", None, "Smith", bd, None) for i in range(200)],
+        False,
+    )
+    uncapped = candidates_bkey_cascade(probes, pile, None).count()
+    capped = candidates_bkey_cascade(probes, pile, 50).count()
+    assert uncapped == 600  # 3 probes x 200 pile rows
+    assert capped == 0  # the degenerate fallback group is excluded
+    # clean data: cap detects nothing, candidate set identical
+    clean = _prep(
+        spark,
+        [(2000 + i, "v", "...", None, "Smith", bd, None) for i in range(10)],
+        False,
+    )
+    assert (
+        candidates_bkey_cascade(probes, clean, 50).count()
+        == candidates_bkey_cascade(probes, clean, None).count()
+        == 30
+    )

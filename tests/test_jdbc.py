@@ -114,3 +114,34 @@ def test_jdbc_required_column_missing_raises(spark, derby):
             num_partitions=1,
             driver=DRIVER,
         ).collect()
+
+
+def test_jdbc_one_sided_bound_honored(spark, derby):
+    """An explicit bound on ONE side must survive the MIN/MAX probe for
+    the other side. upper_bound=9 pins the stride window to [min, 9]:
+    ids 9..49 all land in the last stride partition. The old behavior
+    (probe overwrites both sides) would spread rows ~evenly."""
+    df = read_persons_jdbc(
+        spark, URL, "people", mapping=MAPPING,
+        num_partitions=4, upper_bound=9, driver=DRIVER,
+    )
+    # correctness is unconditional: stride bounds never drop rows
+    assert sorted(r.id for r in df.collect()) == list(range(50))
+    sizes = df.rdd.glom().map(len).collect()
+    assert len(sizes) == 4 and max(sizes) >= 40
+
+
+def test_explicit_optional_mapping_typo_raises(spark):
+    """An EXPLICIT optional-column mapping that fails to resolve is a
+    typo and must raise — silently NULL-backfilling it would degrade
+    recall with a 'successful' run."""
+    df = spark.createDataFrame(
+        [(1, "A", "B", dt.date(1990, 1, 1), "u1")],
+        "id long, first_name string, last_name string, birthdate date, my_uuid string",
+    )
+    with pytest.raises(ValueError, match="my_uudi"):
+        apply_column_mapping(df, {"uuid": "my_uudi"})
+    # unmapped optional columns still backfill
+    out = apply_column_mapping(df, {"uuid": "my_uuid"})
+    row = out.first()
+    assert row.uuid == "u1" and row.middle_name is None

@@ -61,14 +61,26 @@ def test_bmp_unsupported_bpp_raises():
 def test_wav_round_trip_and_extra_chunk():
     v = (np.arange(100) * 331 % 65536 - 32768).astype(np.int16)
     data = decode_wav(encode_wav(v, 16000))
-    assert data[1] == 16000 and np.array_equal(data[0], v)
+    # decode returns the documented [n, channels] shape (mono: n x 1)
+    assert data[1] == 16000 and np.array_equal(data[0], v.reshape(-1, 1))
     # insert a LIST chunk between fmt and data: the chunk walk must skip it
     raw = encode_wav(v, 16000)
     fmt_end = 12 + 8 + 16
     extra = struct.pack("<4sI", b"LIST", 6) + b"INFOab"
     patched = raw[:fmt_end] + extra + raw[fmt_end:]
     samples, rate = decode_wav(patched)
-    assert rate == 16000 and np.array_equal(samples, v)
+    assert rate == 16000 and np.array_equal(samples, v.reshape(-1, 1))
+
+
+def test_wav_stereo_frame_count_not_doubled():
+    """Interleaved stereo must decode to (n_frames, 2) — misreading it
+    as mono doubles the sample count and corrupts duration features."""
+    v = (np.arange(100) * 331 % 65536 - 32768).astype(np.int16)
+    raw = bytearray(encode_wav(v, 8000))
+    struct.pack_into("<H", raw, 12 + 8 + 2, 2)  # fmt.channels = 2
+    samples, rate = decode_wav(bytes(raw))
+    assert rate == 8000 and samples.shape == (50, 2)
+    assert np.array_equal(samples.reshape(-1), v)
 
 
 @pytest.mark.parametrize(
@@ -198,3 +210,18 @@ def test_encode_png_single_channel_3d_is_gray():
     out = decode_png(encode_png(px))
     assert out.shape == (4, 6, 1)
     assert (out == px).all()
+
+
+def test_png_rejects_pixel_product_bomb():
+    """Per-axis caps alone admit w=2^20 x h=2^12 (~26 GB inflate from a
+    few MB of deflate); the PRODUCT cap must reject it at header time,
+    before any allocation."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 12, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I4s", 13, b"IHDR") + ihdr + b"\x00" * 4
+        + struct.pack(">I4s", 1, b"IDAT") + b"x" + b"\x00" * 4
+        + struct.pack(">I4s", 0, b"IEND") + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="bad dimensions"):
+        decode_png(blob)

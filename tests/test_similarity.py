@@ -64,3 +64,21 @@ def test_jaro_winkler_known():
         rel_tol=1e-12,
     )
     assert jaro_winkler("x", "x") == 1.0
+
+
+def test_jw_udf_pair_key_unambiguous_with_control_chars():
+    """The batch kernel's unique-pair dedup key is length-prefixed:
+    pairs ('x\\x1f', 'y') and ('x', '\\x1fy') must score independently,
+    not collapse onto one key."""
+    import pandas as pd
+
+    from name_matcher_spark.functions.similarity import (
+        _jaro_winkler_pct_udf,
+        jaro_winkler,
+    )
+
+    a = pd.Series(["x\x1f", "x"])
+    b = pd.Series(["y", "\x1fy"])
+    got = _jaro_winkler_pct_udf.func(a, b)
+    assert got.iloc[0] == pytest.approx(jaro_winkler("x\x1f", "y") * 100.0)
+    assert got.iloc[1] == pytest.approx(jaro_winkler("x", "\x1fy") * 100.0)

@@ -155,3 +155,50 @@ def test_streaming_extract_exactly_once_restart(spark, tmp_path):
     q3 = run_file_stream(streaming_entity_extract(stream3), out_dir, ck)
     q3.awaitTermination()
     assert spark.read.parquet(out_dir).count() == 300
+
+
+def test_sessionize_multi_chunk_group_any_order(spark, tmp_path):
+    """applyInPandasWithState hands a group to the UDF as MULTIPLE
+    Arrow chunks (bounded by arrow.maxRecordsPerBatch) with no time
+    ordering across chunks. 250 events for one user written in
+    DESCENDING time order with a 100-row chunk cap: diffing each chunk
+    against the carried last_ts would see the early-day chunk as a
+    negative gap and count 1 session; sorting the concatenation once
+    counts the true 2."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 2, 12, 0, 0)
+    early = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, i, base + timedelta(seconds=i), "c", 1.0) for i in range(200)]
+    rows += [
+        (1, 1000 + i, early + timedelta(seconds=i), "c", 1.0) for i in range(50)
+    ]
+    rows.sort(key=lambda r: r[2], reverse=True)
+    schema = (
+        "user_id long, event_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        q = (
+            streaming_sessionize(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("sess_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+    got = spark.sql(
+        "SELECT max(n_sessions) AS s, max(n_events) AS e FROM sess_chunks"
+    ).first()
+    assert (got.s, got.e) == (2, 250)

@@ -173,3 +173,40 @@ def test_forever_mode_both_queries_concurrent(spark, tmp_path):
         assert spark.read.parquet(pairs_dir).count() > 0
     finally:
         q1.stop()
+
+
+def test_zero_match_first_batch_with_cluster_store(spark, tmp_path):
+    """A first micro-batch that extracts entities but matches NOTHING
+    must still commit: the dynamic-overwrite write of an empty
+    partitioned DataFrame leaves no data files, so the cluster-fold
+    read-back needs an explicit schema or the batch dies with
+    UNABLE_TO_INFER_SCHEMA and the checkpoint retries forever."""
+    import os
+
+    a_pd, b_pd, _ = make_dirty(60, seed=21)
+    pages = spark.createDataFrame(make_pages(a_pd, "a")).drop("expected_entity")
+    # reference with disjoint gibberish names AND shifted birthdates:
+    # no block key overlaps, zero pairs guaranteed
+    ref_src = (
+        spark.createDataFrame(b_pd)
+        .withColumn("first_name", F.concat(F.lit("Qqx"), F.col("id").cast("string")))
+        .withColumn("last_name", F.concat(F.lit("Vzw"), F.col("id").cast("string")))
+        .withColumn("middle_name", F.lit(None).cast("string"))
+        .withColumn("birthdate", F.date_add("birthdate", 40000))
+    )
+    ref = prepare_persons(ref_src, include_middle=False)
+    src, out, ck, labels = (
+        str(tmp_path / d) for d in ("src", "out", "ck", "labels")
+    )
+    pages.write.parquet(src)
+    q = incremental_linkage(
+        spark.readStream.schema(pages.schema).parquet(src),
+        ref,
+        out,
+        ck,
+        cluster_labels_dir=labels,
+    )
+    q.awaitTermination()  # raises StreamingQueryException if the batch wedged
+    assert os.path.exists(out)
+    # no pairs -> the label store is never materialized (empty fold is a no-op)
+    assert not os.path.exists(labels)

@@ -195,3 +195,52 @@ def test_table_checkpoint_rejects_manifest_stage(spark, ns):
     ckpt = TableStageCheckpoint(spark, f"{ns}.r")
     with pytest.raises(ValueError):
         ckpt.run_stage("manifest", lambda: spark.range(1))
+
+
+def test_table_checkpoint_rejects_invalid_stage_name_before_build(spark, ns):
+    """A stage name that breaks the table-ref grammar must fail FAST —
+    before the (possibly expensive) build runs and before write_table
+    could mistake the ref for a filesystem path."""
+    ckpt = TableStageCheckpoint(spark, f"{ns}.r")
+    ran = []
+
+    def build():
+        ran.append(1)
+        return spark.range(1)
+
+    with pytest.raises(ValueError, match="identifier segment"):
+        ckpt.run_stage("pairs-fuzzy", build)
+    # dotted names PARSE as 2-part refs but route into a database that
+    # was never created — must be rejected just as early
+    with pytest.raises(ValueError, match="identifier segment"):
+        ckpt.run_stage("pairs.fuzzy", build)
+    assert not ran
+
+
+def test_stale_cleanup_respects_current_database(spark, ns):
+    """A 1-part ref resolves against the session's CURRENT database;
+    the stale-location cleanup must target that database's layout and
+    must NOT touch default.<t>'s live files."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    ensure_namespace(spark, f"{ns}.x")
+    # live managed table in default, same short name
+    write_table(spark.range(3), "cur_db_t")
+    default_loc = os.path.join(wh, "cur_db_t")
+    assert os.path.isdir(default_loc)
+    # stale leftovers under the OTHER database's layout
+    stale = os.path.join(wh, f"{ns}.db", "cur_db_t")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    spark.catalog.setCurrentDatabase(ns)
+    try:
+        write_table(spark.range(7), "cur_db_t")
+        assert spark.table(f"{ns}.cur_db_t").count() == 7
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+    # the default table's data survived the other-db rebuild
+    assert spark.table("default.cur_db_t").count() == 3
+    spark.sql("DROP TABLE IF EXISTS default.cur_db_t")

@@ -221,3 +221,40 @@ def test_redact_pii(spark):
     assert "7946" not in rows[2].redacted_text
     assert rows[3].redacted_text == "" and rows[3].n_email == 0
     assert rows[4].redacted_text == "clean text only"
+
+
+def test_cosine_topk_excludes_zero_vectors(spark):
+    """A zero/empty embedding (padding / failed-encode artifact) must
+    be excluded, not DIVIDE_BY_ZERO the job under ANSI."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    ids = {r.corpus_id for r in out}
+    assert 3 not in ids and {2, 4} <= ids
+    # zero vector as a QUERY yields no rows rather than a crash
+    assert cosine_topk(emb, emb.filter("vec_id = 3"), k=3).count() == 0
+
+
+def test_hyperplane_signatures_rejects_wrong_dim(spark):
+    import pytest as _pytest
+
+    from name_matcher_spark.operators.simsearch import hyperplane_signatures
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="length != dim"):
+        hyperplane_signatures(emb, "vec_id", "embedding", dim=64).collect()
+
+
+def test_token_count_null_text_is_zero(spark):
+    from name_matcher_spark.operators.text import quality_metrics
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "two words")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in quality_metrics(docs).collect()}
+    assert got[1].n_tokens == 0
+    assert got[2].n_tokens == 2

@@ -113,3 +113,23 @@ def test_resize_images_spark_path(spark):
     assert out[1].mean_r == tiles.mean()
     assert (out[1].width, out[1].height) == (2, 2)
     assert out[2].mean_r is None
+
+
+def test_resize_area_upscale_replicates_not_nan():
+    """Target larger than source: boxes must replicate source pixels,
+    never divide by a zero-area box (NaN -> undefined uint8 garbage)."""
+    import numpy as np
+
+    from name_matcher_spark.operators.video import resize_area
+
+    px = np.array([[10, 200], [30, 40]], dtype=np.uint8)
+    out = resize_area(px, 4, 4)
+    assert out.shape == (4, 4)
+    expected = np.array(
+        [[10, 10, 200, 200], [10, 10, 200, 200],
+         [30, 30, 40, 40], [30, 30, 40, 40]], dtype=np.uint8
+    )
+    assert np.array_equal(out, expected)
+    # mixed: upscale one axis, downscale the other
+    out2 = resize_area(px, 1, 4)
+    assert np.array_equal(out2, np.array([[20, 20, 120, 120]], dtype=np.uint8))

@@ -325,3 +325,23 @@ def test_canonical_url_newline_mangled(spark):
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got[0] == "http://a.com/x\ny?b=1"  # path+query preserved
     assert got[1] == "https://b.com/x"  # multi-line fragment fully dropped
+
+
+def test_tracker_param_with_newline_value_still_stripped(spark):
+    """(?s) hardening: a newline smuggled into a tracker VALUE must not
+    defeat the '=.*$' tail of the tracker filter."""
+    df = spark.createDataFrame(
+        [("http://a.example/p?utm_source=x\ny&q=1",)], "url string"
+    )
+    got = df.select(canonical_url(F.col("url")).alias("c")).first().c
+    assert got == "http://a.example/p?q=1"
+
+
+def test_entity_decode_gate_passthrough(spark):
+    """The contains('&') fast path must be semantics-neutral."""
+    df = spark.createDataFrame(
+        [("no entities here",), ("a &amp; b &lt;x&gt;",), (None,)],
+        "t string",
+    )
+    got = [r.d for r in df.select(decode_html_entities(F.col("t")).alias("d")).collect()]
+    assert got == ["no entities here", "a & b <x>", None]

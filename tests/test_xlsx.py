@@ -65,3 +65,24 @@ def test_write_xlsx_truncates_and_escapes(tmp_path):
     assert len(got) == 1 + 3 + 1  # header + cap + truncation marker
     assert got[1][0] == "<b&d>"  # XML-escaped on write, parsed back
     assert "TRUNCATED" in got[-1][0]
+
+
+def test_write_xlsx_quoted_sheet_name_and_control_chars(tmp_path):
+    """Sheet names go into an XML ATTRIBUTE (quoteattr, not escape —
+    escape() leaves double quotes alone and breaks out of the
+    attribute), and XML-1.0-illegal control bytes surviving from crawl
+    text must be replaced, not emitted: either defect makes Excel
+    reject the whole workbook."""
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx(
+        path,
+        [('Review "draft" <v1>', ["name"], [("bad\x01ctl\x0bchars",)])],
+    )
+    with zipfile.ZipFile(path) as zf:
+        # ET's expat parser rejects both malformed attributes and
+        # illegal control characters — parsing IS the validity check.
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{NS}sheet")]
+        assert names == ['Review "draft" <v1>']
+        rows = _sheet_rows(zf, "xl/worksheets/sheet1.xml")
+    assert rows[1][0] == "bad�ctl�chars"

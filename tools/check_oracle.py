@@ -24,8 +24,13 @@ TABLES = [
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: tuple comparison raises TypeError the moment a
+    # nullable column mixes None with values at the first differing
+    # position — a crash instead of a FAIL report. repr is totally
+    # ordered and both engines go through the same function, so the
+    # hash stays engine-symmetric.
     canon = sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=repr
     )
     h = hashlib.sha256()
     for row in canon:
@@ -52,6 +57,10 @@ def _canon(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collect() yields bytearray, DuckDB bytes: normalize or
+        # every BinaryType column is a guaranteed false mismatch
+        return bytes(v).hex()
     return v
 
 
@@ -61,6 +70,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from name_matcher_spark.session import get_spark
+
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd name silently matching nothing would print
+        # FAILURES: 0 — a false-green gate
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()

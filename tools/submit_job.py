@@ -83,13 +83,12 @@ def run_stream(spark, args) -> dict:
 
     out = args.out.rstrip("/")
     work = args.work_dir.rstrip("/")
+    ref_pages = spark.read.parquet(args.pages_b)
     ref = prepare_persons(
-        extract_entities(spark.read.parquet(args.pages_b)).withColumnRenamed(
-            "url", "uuid"
-        ),
+        extract_entities(ref_pages).withColumnRenamed("url", "uuid"),
         args.include_middle,
     )
-    pages_schema = spark.read.parquet(args.pages_b).schema
+    pages_schema = ref_pages.schema
     pairs_dir = f"{out}/pairs"
     if args.stream_forever:
         # Long-lived mode: the linkage query never terminates, so a
@@ -121,25 +120,55 @@ def run_stream(spark, args) -> dict:
             max_block_rows=args.max_block_rows,
         )
         q1.awaitTermination()
-        q2 = incremental_clusters(
-            spark.readStream.schema("id_1 long, id_2 long, confidence double")
-            .parquet(pairs_dir),
-            f"{out}/clusters",
-            f"{work}/ck_clusters",
-            threshold=args.threshold,
-        )
-        q2.awaitTermination()
+        import os as _os
+
+        if _os.path.exists(pairs_dir):
+            # an empty input stream never creates the pairs sink; a
+            # stream source on a missing path would fail the run AFTER
+            # the linkage drain already succeeded
+            q2 = incremental_clusters(
+                spark.readStream.schema(
+                    "id_1 long, id_2 long, confidence double"
+                ).parquet(pairs_dir),
+                f"{out}/clusters",
+                f"{work}/ck_clusters",
+                threshold=args.threshold,
+            )
+            q2.awaitTermination()
+    # Explicit schema + existence tolerance: a drain whose batches all
+    # matched nothing leaves the pairs sink with no data files (and the
+    # label store never created) — the summary must not crash a run
+    # whose streaming work succeeded.
+    import os
+
+    pairs_schema = (
+        "id_1 long, id_2 long, confidence double, batch_id long"
+    )
+    n_pairs = (
+        spark.read.schema(pairs_schema).parquet(pairs_dir).count()
+        if os.path.exists(pairs_dir)
+        else 0
+    )
+    n_nodes = (
+        read_clusters(spark, f"{out}/clusters").count()
+        if os.path.exists(f"{out}/clusters")
+        else 0
+    )
     return {
         "metric": "submit_job_stream",
-        "pairs": spark.read.parquet(pairs_dir).count(),
-        "clustered_nodes": read_clusters(spark, f"{out}/clusters").count(),
+        "pairs": n_pairs,
+        "clustered_nodes": n_nodes,
         "out": args.out,
     }
 
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
-    if bool(args.pages_a) == bool(args.persons_a) or bool(args.pages_a) != bool(args.pages_b):
+    if (
+        bool(args.pages_a) == bool(args.persons_a)
+        or bool(args.pages_a) != bool(args.pages_b)
+        or bool(args.persons_a) != bool(args.persons_b)
+    ):
         raise SystemExit("need exactly one of --pages-a/--pages-b or --persons-a/--persons-b (both sides)")
 
     from name_matcher_spark.plans.pipeline import LinkageConfig, run_linkage
