@@ -75,32 +75,6 @@ def _pin(df: DataFrame, pins: list[DataFrame] | None) -> DataFrame:
     return df
 
 
-def _cap_hot_groups(
-    df: DataFrame, key_cols: list[str], max_block_rows: int
-) -> DataFrame:
-    """Drop build-side rows whose FALLBACK-branch group exceeds the
-    cap. The fallback branches (coarser keys than branch 1) have no
-    recall-safe refinement: their group keys already use every
-    component the branch semantics allow, so an oversized group —
-    a placeholder-year + common-soundex pileup — can only be excluded
-    or allowed to go quadratic. Excluding mirrors the LSH
-    degenerate-bucket cap: fallbacks are best-effort recall recovery
-    for edge-case records, and a multi-million-row degenerate group is
-    exactly the shape that must not multiply every probe. No-op (one
-    cheap aggregate + semi-join on the cached narrow table) when
-    nothing is hot."""
-    hot = (
-        df.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > max_block_rows)
-        .select(*key_cols)
-    )
-    # hot keys are rare by construction -> tiny broadcast; the common
-    # no-hot-keys case is one aggregate over the cached narrow table
-    # and an anti-join against an empty build side.
-    return df.join(F.broadcast(hot), key_cols, "left_anti")
-
-
 def _prefixed(df: DataFrame, prefix: str, cols: list[str]) -> DataFrame:
     avail = [c for c in cols if c in df.columns]
     return df.select(*[F.col(c).alias(f"{prefix}{c}") for c in avail])
@@ -181,12 +155,22 @@ def candidates_bkey_cascade(
     # stages and oversubscribe the executor cores.
     left = _pin(_prefixed(p1, "l_", _KEY_COLS), pins)
     right = _pin(_prefixed(p2, "r_", _KEY_COLS), pins)
+    fallback_right = right
     if max_block_rows:
         refined = _refine_hot_blocks(left, right, max_block_rows)
         if refined is not None:
             left, right = refined
             left = _pin(left, pins)
             right = _pin(right, pins)
+            # Fallback-branch skew cap, FREE: the fallback keys —
+            # (year, li, sx) over the '?' subset in branch 2,
+            # (year, fi, li, sx) in branch 3 — partition rows
+            # identically to block_key (injective concat), so a
+            # fallback group exceeds the cap iff its block was hot.
+            # The fallbacks are best-effort recall recovery; excluding
+            # a multi-million-row degenerate group mirrors the LSH
+            # degenerate-bucket cap (branch 1 still refines it).
+            fallback_right = right.filter(~F.col("r_was_hot"))
 
     # Branch 1: exact BKey. Left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -196,17 +180,8 @@ def candidates_bkey_cascade(
     left2 = j1.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 2: probe key with first_initial '?' — matches build rows
-    # whose first name has no alphabetic char. COARSER key than branch
-    # 1, with no refinement component left (the '?' rows have no
-    # phonetic first-name content) — so the skew cap EXCLUDES oversized
-    # (year, li, sx) build groups instead (see _cap_hot_groups).
-    right_q = right.filter(F.col("r_first_initial") == "?")
-    if max_block_rows:
-        right_q = _cap_hot_groups(
-            right_q,
-            ["r_birth_year", "r_last_initial", "r_sx_last"],
-            max_block_rows,
-        )
+    # whose first name has no alphabetic char.
+    right_q = fallback_right.filter(F.col("r_first_initial") == "?")
     j2 = left2.join(
         right_q,
         (F.col("l_birth_year") == F.col("r_birth_year"))
@@ -218,16 +193,10 @@ def candidates_bkey_cascade(
     left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # Branch 3: coarse soundex — probe's soundex with digits 3-4 zeroed
-    # must equal the build row's FULL soundex. Same cap treatment: the
+    # must equal the build row's FULL soundex. fallback_right: the
     # branch key is components, so branch 1's block_key refinement does
-    # NOT protect it.
-    right3 = right
-    if max_block_rows:
-        right3 = _cap_hot_groups(
-            right3,
-            ["r_birth_year", "r_first_initial", "r_last_initial", "r_sx_last"],
-            max_block_rows,
-        )
+    # NOT protect it — the was-hot exclusion does.
+    right3 = fallback_right
     coarse = F.concat(F.substring(F.col("l_sx_last"), 1, 2), F.lit("00"))
     b3 = (
         left3.join(
@@ -271,7 +240,7 @@ def _refine_hot_blocks(
         return None
     hot_b = F.broadcast(hot)
 
-    def extend(df: DataFrame, prefix: str) -> DataFrame:
+    def extend(df: DataFrame, prefix: str, tag: bool = False) -> DataFrame:
         # norm_first, NOT the raw name: every other key component is
         # built from normalized text, and soundex4 of a raw accented
         # name ('Ángel' -> 'N240', the diacritic byte is dropped) would
@@ -285,9 +254,20 @@ def _refine_hot_blocks(
             .drop("hot_key")
         )
         cold_rows = flagged.filter(F.col("hot_key").isNull()).drop("hot_key")
+        if tag:
+            # r_was_hot marks rows of OVERSIZED original blocks. The
+            # fallback branches reuse it as their skew cap for free:
+            # every fallback build-side grouping — (year, li, sx) over
+            # the '?' subset, (year, fi, li, sx) over the full table —
+            # partitions rows IDENTICALLY to block_key (the key is an
+            # injective concat of those components), so "fallback group
+            # over cap" == "original block_key over cap", with no
+            # second aggregate and nothing to do when no block is hot.
+            hot_rows = hot_rows.withColumn("r_was_hot", F.lit(True))
+            cold_rows = cold_rows.withColumn("r_was_hot", F.lit(False))
         return hot_rows.unionByName(cold_rows)
 
-    return extend(left, "l_"), extend(right, "r_")
+    return extend(left, "l_"), extend(right, "r_", tag=True)
 
 
 def candidates_algo7(
@@ -314,16 +294,20 @@ def candidates_algo7(
 
     ``max_block_rows``: the same skew posture as the cascade — branch 1
     refines hot block_keys with soundex4(norm_first); the coarser-key
-    branches (2-4) exclude oversized build groups (_cap_hot_groups).
+    branches (2-4) exclude was-hot build rows (see
+    candidates_bkey_cascade — the component groupings partition rows
+    identically to block_key, so the refinement's hot set IS the cap).
     """
     left = _pin(_prefixed(p1, "l_", _KEY_COLS), pins)
     right = _pin(_prefixed(p2, "r_", _KEY_COLS), pins)
+    fallback_right = right
     if max_block_rows:
         refined = _refine_hot_blocks(left, right, max_block_rows)
         if refined is not None:
             left, right = refined
             left = _pin(left, pins)
             right = _pin(right, pins)
+            fallback_right = right.filter(~F.col("r_was_hot"))
 
     # 1. exact key, left-outer so unmatched probes feed branch 2.
     j1 = left.join(
@@ -333,13 +317,7 @@ def candidates_algo7(
     left2 = j1.filter(F.col("r_id").isNull()).select(*left.columns)
 
     # 2. '?' first-initial fallback for probes branch 1 left empty.
-    right_q = right.filter(F.col("r_first_initial") == "?")
-    if max_block_rows:
-        right_q = _cap_hot_groups(
-            right_q,
-            ["r_birth_year", "r_last_initial", "r_sx_last"],
-            max_block_rows,
-        )
+    right_q = fallback_right.filter(F.col("r_first_initial") == "?")
     j2 = left2.join(
         right_q,
         (F.col("l_birth_year") == F.col("r_birth_year"))
@@ -350,13 +328,7 @@ def candidates_algo7(
     b2 = j2.filter(F.col("r_id").isNotNull()).select("l_id", "r_id")
     left3 = j2.filter(F.col("r_id").isNull()).select(*left.columns)
 
-    right_comp = right
-    if max_block_rows:
-        right_comp = _cap_hot_groups(
-            right,
-            ["r_birth_year", "r_first_initial", "r_last_initial", "r_sx_last"],
-            max_block_rows,
-        )
+    right_comp = fallback_right
 
     # 3. ±1 year for EVERY probe (not a fallback): band the range.
     banded = left.withColumn(
