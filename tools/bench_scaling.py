@@ -222,8 +222,12 @@ def main() -> None:
         # The persisted candidate table grows with `size` and the scoring
         # working set with task slots; the 8g get_spark default OOMs the
         # 105.9M-pair kernel at 32 threads (GCLocker alloc storms).
-        # Scale the child heap with the input unless the caller pinned it.
-        kenv.setdefault("NMS_DRIVER_MEM", "24g" if size > 1_000_000 else "8g")
+        # Scale the child heap with input size AND slot count (both
+        # drive the working set) unless the caller pinned it.
+        kenv.setdefault(
+            "NMS_DRIVER_MEM",
+            "24g" if size >= 1_000_000 or cpus >= 32 else "8g",
+        )
         proc = subprocess.run(
             [sys.executable, __file__, "--kernel-child", str(cpus), str(cand_dir)],
             capture_output=True, text=True, check=False, timeout=3600, env=kenv,
@@ -231,7 +235,16 @@ def main() -> None:
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 kresults[cpus] = json.loads(line)
-        print("kernel", cpus, "->", kresults.get(cpus))
+        if cpus not in kresults:
+            # tolerated (the e2e rows still publish) but NEVER silent:
+            # a benchmark record missing its kernel_* keys must say why
+            print(
+                f"kernel {cpus} -> FAILED (no JSON line); stderr tail: "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+        else:
+            print("kernel", cpus, "->", kresults.get(cpus))
 
     host = host_calibration(levels)
     print("host calibration:", host)

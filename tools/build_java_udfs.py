@@ -35,14 +35,24 @@ Table regeneration (only needed on a CPython minor-version bump):
   Unicode 13 tables, CPython 3.11 = Unicode 14; e.g. U+10570
   Vithkuqi lowers in CPython but not in Java 17)::
 
+      multi = set()
       for cp in range(0x110000):
           if 0xD800 <= cp <= 0xDFFF: continue
           l = chr(cp).lower()
-          if l != chr(cp) and len(l) == 1:
+          if l == chr(cp): continue
+          if len(l) == 1:
               keys.append(cp); vals.append(ord(l))
+          else:
+              multi.add(cp)
+      assert multi == {0x0130}, multi  # see note below
 
   The single len(l) != 1 mapping (U+0130 -> U+0069 U+0307) is
-  special-cased at both call sites instead of tabled.
+  special-cased at both call sites instead of tabled. The assert is
+  NOT optional: if a future Unicode version adds another multi-char
+  unconditional lowering, silently skipping it reintroduces the exact
+  JVM/CPython blocking-key split this table exists to prevent — the
+  new codepoint must be special-cased like U+0130 or the regeneration
+  must fail.
 """
 
 from __future__ import annotations
