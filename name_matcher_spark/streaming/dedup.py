@@ -109,10 +109,15 @@ def incremental_dedup(
                 # schema inference would then wedge every retry with
                 # UNABLE_TO_INFER_SCHEMA (same hazard as the linkage
                 # sink read-back).
-                from pyspark.sql.types import LongType, StructField
+                from pyspark.sql.types import LongType, StructField, StructType
 
-                store_schema = buckets.schema.add(
-                    StructField("batch_id", LongType())
+                # fresh StructType: DataFrame.schema is cached on the
+                # DataFrame object and StructType.add mutates in place —
+                # buckets.schema.add(...) would quietly grow a phantom
+                # batch_id column onto buckets' own cached schema
+                store_schema = StructType(
+                    list(buckets.schema.fields)
+                    + [StructField("batch_id", LongType())]
                 )
                 store = cap_small(
                     spark.read.schema(store_schema)
