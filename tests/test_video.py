@@ -133,3 +133,34 @@ def test_resize_area_upscale_replicates_not_nan():
     # mixed: upscale one axis, downscale the other
     out2 = resize_area(px, 1, 4)
     assert np.array_equal(out2, np.array([[20, 20, 120, 120]], dtype=np.uint8))
+
+
+def test_resize_area_property_vs_naive_reference():
+    """Any (h, w) -> (out_h, out_w) combination — downscale, upscale,
+    mixed, ragged — must equal the naive per-box mean with the same
+    replicate-on-upscale box rule."""
+    import numpy as np
+
+    from name_matcher_spark.operators.video import resize_area
+
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        h, w = rng.randint(1, 13), rng.randint(1, 13)
+        oh, ow = rng.randint(1, 13), rng.randint(1, 13)
+        ch = rng.choice([0, 1, 3])
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        got = resize_area(px, oh, ow)
+        p3 = px[:, :, None] if ch == 0 else px
+        ys = np.floor(np.arange(oh + 1) * h / oh).astype(int)
+        xs = np.floor(np.arange(ow + 1) * w / ow).astype(int)
+        exp = np.zeros((oh, ow, p3.shape[2]))
+        for i in range(oh):
+            ylo, yhi = ys[i], max(ys[i + 1], ys[i] + 1)
+            for j in range(ow):
+                xlo, xhi = xs[j], max(xs[j + 1], xs[j] + 1)
+                exp[i, j] = p3[ylo:yhi, xlo:xhi].reshape(-1, p3.shape[2]).mean(axis=0)
+        exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+        if ch == 0:
+            exp = exp[:, :, 0]
+        assert np.array_equal(got, exp), (shape, oh, ow)
