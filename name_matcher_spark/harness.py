@@ -1719,13 +1719,35 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition edge-case docs — one oracle row covers both operator
     families. repetition's own n_tokens duplicates quality's and is
     dropped from the join."""
-    from .operators.text import repetition_metrics
+    from .operators.text import LANG_MARKERS, _marker_hits, repetition_metrics
 
     extra = spark.createDataFrame(REPETITION_EXTRA_DOCS, "doc_id long, text string")
     corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
-    q = quality_metrics(corpus)
-    r = repetition_metrics(corpus).drop("n_tokens")
-    return q.join(r, "doc_id")
+    # r06: one fused zero-shuffle pass instead of quality JOIN
+    # repetition — the quality signals are per-row expressions, so they
+    # ride the repetition projection via its `extra` hook (the second
+    # corpus scan and the id-equi-join disappear; identical values,
+    # identical column order).
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))  # noqa: E731
+    fused = repetition_metrics(
+        corpus,
+        extra={
+            "n_chars": n_chars.cast("long"),
+            "_q_tokens": n_tokens,
+            "mean_token_len": safe(n_chars, n_tokens),
+            "punct_ratio": safe(F.regexp_count(t, F.lit("[^A-Za-z0-9\\s]")), n_chars),
+            "upper_ratio": safe(F.regexp_count(t, F.lit("[A-Z]")), n_chars),
+            "stopword_ratio": safe(_marker_hits(t, LANG_MARKERS["en"]), n_tokens),
+        },
+    )
+    return fused.select(
+        "doc_id", "n_chars", F.col("_q_tokens").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "upper_ratio", "stopword_ratio",
+        "n_lines", "dup_line_frac", "top_2gram_frac", "dup_5gram_frac",
+    )
 
 
 def _quality_sql(from_tbl: str = "documents") -> str:
@@ -2224,11 +2246,18 @@ def txt_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string",
     )
     corpus = _docs(spark, sf_dir).select("doc_id", "text").unionByName(extra)
+    # Pin the two stage boundaries every downstream consumer shares
+    # (r06, guide §5): `cleaned` feeds the filter, the keeper semi-join
+    # AND the final report join; `verd` feeds the semi-join and the
+    # report. Unpinned, the 3-shuffle line-dedup subtree re-ran once
+    # per consumer (measured: 11.5 s full vs ~6 s of distinct work).
+    # The run_linkage staging discipline, not cross-run caching — both
+    # pins live only inside this one lazy query.
     cleaned = line_dedup(
         corpus, min_docs=_CORPUS_MIN_DOCS, hash_fn="md5"
-    )
+    ).persist()
     cdocs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
-    verd = text_filter_pipeline(cdocs)
+    verd = text_filter_pipeline(cdocs).persist()
     kept = cdocs.join(
         verd.where(F.col("keep")).select("doc_id"), "doc_id", "leftsemi"
     )

@@ -46,10 +46,19 @@ def connected_components(
     bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     bidir = bidir.localCheckpoint(eager=False)
 
+    # Initial labels: min over the CLOSED 1-hop neighborhood, not the
+    # node itself (r06). The node universe needs a groupBy on src
+    # either way (bidir is symmetric, so every node appears as src);
+    # folding min(dst) into that same aggregate performs round 1 of
+    # min-label propagation for free — the loop below then starts from
+    # the 1-hop state and converges exactly one round (= one full
+    # shuffle job) earlier on every graph. Same fixpoint, same labels:
+    # the iteration new[v] = min(old[v], min over neighbors) reaches
+    # the identical component-min labeling from either start.
     labels = (
-        bidir.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
+        bidir.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("_mn"), F.col("node")).alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
 

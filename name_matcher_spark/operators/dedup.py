@@ -247,7 +247,11 @@ def ngram_jaccard_pairs(
     intersection via gram equi-join; union = |A| + |B| - inter.
     """
     sh = shingles(docs, id_col, text_col, k)
-    if max_doc_freq is not None:
+    # The stop-gram cut as a count + semi join — only for the paths
+    # that need the gram ROWS filtered; the all-pairs join path below
+    # folds the identical cut into its per-gram aggregate for free
+    # (size(ds) IS the doc frequency, sh is distinct per doc).
+    if max_doc_freq is not None and not (mode == "join" and candidates is None):
         rare = (
             sh.groupBy("gram")
             .count()
@@ -259,6 +263,14 @@ def ngram_jaccard_pairs(
         if candidates is None:
             raise ValueError("mode='sets' requires candidate pairs")
         sets = sh.groupBy(id_col).agg(F.collect_list("gram").alias("_g"))
+        # The gram-array table feeds BOTH sides of the candidate join;
+        # unpinned, the whole shingle explode + collect_list aggregate
+        # runs twice (the two consumers join on different keys, so no
+        # ReusedExchange). Cache it (r06, guide §5 "reused AND
+        # recomputing is more expensive") when the caller can drain it.
+        if pins is not None:
+            sets = sets.cache()
+            pins.append(sets)
         a = sets.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
         b = sets.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
         paired = candidates.join(a, "id_a").join(b, "id_b")
@@ -272,6 +284,60 @@ def ngram_jaccard_pairs(
         )
     if mode != "join":
         raise ValueError(f"unknown verify mode: {mode}")
+    if candidates is None:
+        # All-pairs variant rewritten as ONE per-gram aggregate + pair
+        # explode (r06, guide §2.3 "aggregate before you shuffle" /
+        # §2.4): the old a JOIN b ON gram shuffled the exploded gram
+        # table TWICE more (once per join side, after the doc-frequency
+        # semi join's own shuffle) and then re-aggregated the pair
+        # stream. Grouping doc ids per gram needs a single shuffle, the
+        # doc-frequency cut becomes a free size(ds) filter on the
+        # aggregate (no separate count + semi join), and sorted-list
+        # combinations emit exactly the id_a < id_b pair stream the
+        # join produced — identical pairs, identical counts, identical
+        # Jaccard. 3 shuffles total vs 5 + join machinery.
+        by_gram = sh.groupBy("gram").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ds")
+        )
+        if max_doc_freq is not None:
+            by_gram = by_gram.filter(F.size("ds") <= max_doc_freq)
+        # by_gram feeds both the per-doc sizes and the pair counts.
+        by_gram = by_gram.cache()
+        if pins is not None:
+            pins.append(by_gram)
+        sizes = (
+            by_gram.select(F.explode("ds").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n"))
+        )
+        ds = F.col("ds")
+        combos = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        inter = (
+            by_gram.select(F.explode(combos).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+        return (
+            inter.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sh = sh.cache()
     if pins is not None:
         pins.append(sh)
@@ -349,9 +415,10 @@ def dedup_pipeline(
     see minhash_lsh_candidates.
 
     ``pins`` collects every DataFrame cached on the caller's behalf
-    (currently the verify tier's gram table); drain it after the
-    result is materialized, or repeated calls in a long-lived session
-    accumulate cache entries.
+    (the exact-tier assignment, the survivor set, the LSH candidate
+    set, and the verify tier's gram-array/gram tables); drain it after
+    the result is materialized, or repeated calls in a long-lived
+    session accumulate cache entries.
     """
     # NULL text hashes to NULL and an equi-join on a NULL key matches
     # nothing — without the sentinel, every NULL-text doc (routine in
@@ -368,16 +435,39 @@ def dedup_pipeline(
     )
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_exact_canon"))
     assigned = hashed.join(canon, "_h").select(id_col, "_exact_canon")
+    # assigned feeds exact_dups AND the survivor semi-join; surv feeds
+    # FOUR consumers (LSH shingles, verify shingles, cluster canonical
+    # lengths, kept_rows). Unpinned, each consumer re-runs the md5
+    # groupBy(+ the upstream corpus scan) from scratch — measured 14.1 s
+    # for the crawl entity tier vs ~9 s of actual distinct work (r06,
+    # guide §5: cache what is reused and expensive). MEMORY_AND_DISK via
+    # cache-and-register so pins-draining callers release the entries.
+    def _pin(df):
+        df = df.persist()
+        if pins is not None:
+            pins.append(df)
+        return df
+
+    assigned = _pin(assigned)
     exact_dups = assigned.filter(F.col(id_col) != F.col("_exact_canon"))
-    surv = docs.join(
-        assigned.filter(F.col(id_col) == F.col("_exact_canon")).select(id_col),
-        id_col,
-        "leftsemi",
+    surv = _pin(
+        docs.join(
+            assigned.filter(F.col(id_col) == F.col("_exact_canon")).select(id_col),
+            id_col,
+            "leftsemi",
+        )
     )
 
-    cands = minhash_lsh_candidates(
-        surv, id_col, text_col, shingle_k, num_hashes, bands, minhash_hash_fn,
-        max_bucket_size=max_bucket_size,
+    # The candidate set is consumed once in 'sets' verify mode but
+    # three times in 'join' mode (two id-level semi joins + the
+    # pair-level semi join) — and its own LSH plan (signature agg +
+    # bucket self-join + distinct) is the most expensive subtree in the
+    # pipeline. Pin it so verification never re-runs MinHash.
+    cands = _pin(
+        minhash_lsh_candidates(
+            surv, id_col, text_col, shingle_k, num_hashes, bands, minhash_hash_fn,
+            max_bucket_size=max_bucket_size,
+        )
     )
     verified = ngram_jaccard_pairs(
         surv,
@@ -485,8 +575,19 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Norms hoisted to the per-ROW projections (r06): the interpreted
+    # higher-order fold runs once per vector instead of once per
+    # candidate pair — identical doubles, identical rounding.
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -494,8 +595,7 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
                 4,
             ).alias("cosine"),
         )

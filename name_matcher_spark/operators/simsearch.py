@@ -61,17 +61,27 @@ def cosine_topk(
     streamed through the broadcast-nested-loop in one pass with no
     corpus shuffle until the final per-query top-k (a tiny aggregate).
     """
+    # Norms are per-ROW facts: compute them once in each side's
+    # projection, not per PAIR inside the nested-loop condition (r06,
+    # guide §1.2 "per-task work"). The higher-order _norm fold is
+    # interpreted (no codegen), so hoisting it out of the |Q|x|C| pair
+    # stream drops two of the three array folds per pair — identical
+    # doubles, identical rounding.
     q = drop_zero_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = drop_zero_vectors(corpus, vec_col).select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id")).select(
         "query_id",
         "corpus_id",
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
             4,
         ).alias("cosine"),
     )
@@ -176,20 +186,27 @@ def ivf_cosine_topk(
     shuffled except by inverted-list id."""
     corpus = drop_zero_vectors(corpus, vec_col)
     queries = drop_zero_vectors(queries, vec_col)
+    # Norms hoisted to per-ROW projections on both sides (r06): the
+    # interpreted fold runs once per vector / centroid, not once per
+    # (row x centroid) pair — identical doubles.
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
 
     def scored_vs_centroids(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias("v")
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("_vn"),
         ).join(F.broadcast(cent), how="cross").select(
             out_id,
             "cid",
             (
                 F.lit(1.0)
                 - _dot(F.col("v"), F.col("cvec"))
-                / (_norm(F.col("v")) * _norm(F.col("cvec")))
+                / (F.col("_vn") * F.col("_cn"))
             ).alias("dist"),
         )
 
@@ -216,8 +233,16 @@ def ivf_cosine_topk(
         .select("query_id", "corpus_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn2"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "corpus_id")
@@ -225,8 +250,7 @@ def ivf_cosine_topk(
             "query_id",
             "corpus_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn2")),
                 4,
             ).alias("cosine"),
         )
@@ -266,8 +290,16 @@ def lsh_cosine_topk(
         .select("query_id", "corpus_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "corpus_id")
@@ -275,8 +307,7 @@ def lsh_cosine_topk(
             "query_id",
             "corpus_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
                 4,
             ).alias("cosine"),
         )

@@ -153,8 +153,53 @@ def quality_metrics(
     )
 
 
+def _run_max(arr: Column) -> Column:
+    """Max multiplicity of any value in a SORTED string array, as a
+    single interpreted fold (equal values are adjacent after sorting,
+    so the longest equal-neighbor run IS the mode's count). Empty
+    array -> 0."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, merge, lambda acc: acc["best"])
+
+
+def _dup_mass(arr: Column) -> Column:
+    """Sum of counts of values occurring more than once in a SORTED
+    string array (Σ c for c > 1), as a single fold: when a value's
+    second copy arrives the whole pair enters the mass (+2), further
+    copies add 1. Empty array -> 0."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mass")
+    )
+
+    def merge(acc, x):
+        is_rep = x == acc["prev"]
+        run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1))
+        add = F.when(
+            is_rep, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["mass"] + add).alias("mass")
+        )
+
+    return F.aggregate(arr, init, merge, lambda acc: acc["mass"])
+
+
 def repetition_metrics(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al.
     2021, "Scaling Language Models", §A1.1 — public paper), the
@@ -168,16 +213,24 @@ def repetition_metrics(
       occur more than once (Σ count×5 / n_tokens, capped at 1 —
       overlap-blind like the original).
 
-    Scale shape: array construction is all higher-order JVM
-    expressions (split/filter/zip_with/transform — WSCG); the n-gram
-    mode/dup-mass needs a frequency table, which is explode →
-    groupBy(doc, n, gram) → groupBy(doc, n) → groupBy(doc) — three
-    linear shuffles keyed by doc_id(+gram), no all-pairs anywhere, so
-    it holds at crawl scale. Docs whose gram set is empty (< 2 tokens)
-    come back via left join with zeroed fractions. NULL text is
-    treated as empty (all-zero row), not propagated as NULL counts —
-    real crawls have NULL-text rows and a filter must not drop them
-    silently.
+    Scale shape (r06): ZERO shuffle. The n-gram mode/dup-mass used to
+    take a frequency table (explode -> three keyed shuffles -> join
+    back); both are per-DOCUMENT statistics, so they are now computed
+    inside the row with sorted-array folds (`_run_max`/`_dup_mass`
+    over array_sort'd gram arrays — identical counts, no exploded gram
+    stream, no shuffle, and per-row linearithmic work that holds at
+    crawl scale better than the shuffle ever did). The tokenised array
+    is materialized once behind an explode(array(struct)) Generate
+    barrier so CollapseProject cannot re-inline the split/filter chain
+    into every derived column (the fuzzy-ladder kernel discipline).
+    NULL text is treated as empty (all-zero row), not propagated as
+    NULL counts — real crawls have NULL-text rows and a filter must
+    not drop them silently.
+
+    ``extra`` (internal): additional per-row output columns computed
+    from the SAME projection (name -> expression over the input row),
+    letting text_filter_pipeline fuse its quality/langid signals into
+    this operator's single pass instead of joining a second scan.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
@@ -185,17 +238,35 @@ def repetition_metrics(
         lambda x: x != "",
     )
     toks = F.filter(F.split(F.lower(F.trim(t)), "\\s+"), lambda x: x != "")
+    extra = extra or {}
     base = docs.select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("n_lines_distinct"),
-        toks.alias("toks"),
-    ).withColumn("n_tokens", F.size(F.col("toks")).cast("long"))
+        *[c.alias(nm) for nm, c in extra.items()],
+        F.explode(
+            F.array(
+                F.struct(
+                    F.size(lines).cast("long").alias("n_lines"),
+                    F.size(F.array_distinct(lines)).cast("long").alias(
+                        "n_lines_distinct"
+                    ),
+                    toks.alias("toks"),
+                )
+            )
+        ).alias("_b"),
+    ).select(
+        F.col(id_col),
+        *extra.keys(),
+        F.col("_b.n_lines").alias("n_lines"),
+        F.col("_b.n_lines_distinct").alias("n_lines_distinct"),
+        F.col("_b.toks").alias("toks"),
+        F.size("_b.toks").cast("long").alias("n_tokens"),
+    )
 
     n = F.col("n_tokens")
+    tk = F.col("toks")
     grams2 = F.zip_with(
-        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0)).cast("int")),
-        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(tk, 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(tk, 2, F.greatest(n - 1, F.lit(0)).cast("int")),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     # sequence(1, n-4) DESCENDS when n < 5 — gate it.
@@ -206,41 +277,16 @@ def repetition_metrics(
             " i -> concat_ws(' ', slice(toks, i, 5)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = base.select(
-        F.col(id_col),
-        F.explode(
-            F.concat(
-                F.transform(
-                    grams2, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
-                ),
-                F.transform(
-                    grams5, lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram"))
-                ),
-            )
-        ).alias("g"),
-    ).select(F.col(id_col), F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    freq = (
-        exploded.groupBy(id_col, "n", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col, "n")
-        .agg(
-            F.max("c").alias("maxc"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("n") == 2, F.col("maxc"))).alias("max2"),
-            F.max(F.when(F.col("n") == 5, F.col("dupc"))).alias("dup5"),
-        )
-    )
+    max2 = _run_max(F.array_sort(grams2))
+    dup5 = _dup_mass(F.array_sort(grams5))
 
-    out = base.join(freq, on=id_col, how="left")
     n_lines = F.col("n_lines")
     frac = lambda mass: F.round(  # noqa: E731
-        F.least(F.lit(1.0), mass / F.col("n_tokens").cast("double")), 4
+        F.least(F.lit(1.0), mass / n.cast("double")), 4
     )
-    return out.select(
+    return base.select(
         F.col(id_col),
+        *extra.keys(),
         n_lines,
         F.col("n_tokens"),
         F.when(
@@ -253,16 +299,13 @@ def repetition_metrics(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_line_frac"),
-        F.when(
-            F.col("max2").isNotNull() & (F.col("n_tokens") > 0),
-            frac(F.col("max2").cast("double") * 2.0),
-        )
+        # max2/dup5 are 0 exactly where the old frequency join produced
+        # NULL (no grams), and frac(0) is 0.0 either way — the n>0 gate
+        # alone reproduces the old NULL-handling bit for bit.
+        F.when(n > 0, frac(max2.cast("double") * 2.0))
         .otherwise(F.lit(0.0))
         .alias("top_2gram_frac"),
-        F.when(
-            F.col("dup5").isNotNull() & (F.col("n_tokens") > 0),
-            frac(F.col("dup5").cast("double") * 5.0),
-        )
+        F.when(n > 0, frac(dup5.cast("double") * 5.0))
         .otherwise(F.lit(0.0))
         .alias("dup_5gram_frac"),
     )
@@ -309,12 +352,12 @@ def text_filter_pipeline(
     a pipeline can report WHY documents were dropped (the score-
     distribution / lineage posture the rest of this engine follows).
 
-    Scale shape: the length/word-length/language signals are pure
-    per-row expressions, so they are FUSED into one zero-shuffle WSCG
-    projection (no join between them — `_langid_cols` exists for
-    exactly this); repetition genuinely aggregates and contributes the
-    plan's only keyed shuffles plus the single id-equi-join. Nothing
-    all-pairs.
+    Scale shape (r06): ONE zero-shuffle projection for the whole
+    operator. The length/word-length/language signals are per-row
+    expressions fused via `repetition_metrics(extra=...)` into the
+    repetition pass — which itself no longer shuffles (sorted-array
+    folds) — so the former id-equi-join and its second corpus scan are
+    gone entirely. Nothing all-pairs, nothing keyed.
     """
     r = FILTER_RULES
     # NULL text = empty doc: every verdict must be a real boolean (a
@@ -323,16 +366,23 @@ def text_filter_pipeline(
     t = F.col(text_col)
     lang_expr, _score = _langid_cols(t)
     n_tokens = token_count(t)
-    base = docs.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.when(n_tokens > 0, F.round(F.length(t) / n_tokens, 4))
-        .otherwise(F.lit(0.0))
-        .alias("mean_token_len"),
-        lang_expr.alias("detected_lang"),
-    )
-    rep = repetition_metrics(docs, id_col, text_col)
-    j = base.join(rep.drop("n_tokens"), on=id_col)
+    j = repetition_metrics(
+        docs,
+        id_col,
+        text_col,
+        extra={
+            # token_count(t) and the repetition pass's own filtered-
+            # split count agree on every input (both are "number of
+            # \s+-separated non-empty tokens of the trimmed text");
+            # the rule columns keep reading this one, as before.
+            "_q_tokens": n_tokens,
+            "mean_token_len": F.when(
+                n_tokens > 0, F.round(F.length(t) / n_tokens, 4)
+            )
+            .otherwise(F.lit(0.0)),
+            "detected_lang": lang_expr,
+        },
+    ).withColumn("n_tokens", F.col("_q_tokens"))
     pass_len = (F.col("n_tokens") >= r["min_tokens"]) & (
         F.col("n_tokens") <= r["max_tokens"]
     )

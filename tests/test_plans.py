@@ -92,13 +92,26 @@ def test_fuzzy_scoring_single_kernel_eval(spark):
 
 
 def test_registered_ngram_variant_is_capped(spark):
-    """The REGISTERED dd_ngram_jaccard must run the stop-gram cut: its
-    plan carries the LeftSemi gram filter ahead of the gram self-join
-    (uncapped, the self-join goes quadratic on stop-grams at scale)."""
+    """The REGISTERED dd_ngram_jaccard must run the stop-gram cut. r06
+    rewrote the all-pairs path as one per-gram aggregate + sorted-list
+    pair explode (no two-sided gram self-join), so the cut is now the
+    size(ds) <= cap filter ON that aggregate — assert the filter is in
+    the plan and the old gram equi-join shape is gone (a 'gram JOIN
+    gram' self-join reappearing would mean the quadratic stop-gram
+    hazard is back)."""
     from name_matcher_spark import harness
 
-    plan = _plan(harness.dd_ngram_jaccard(spark, SF))
-    assert "LeftSemi" in plan
+    df = harness.dd_ngram_jaccard(spark, SF)
+    plan = _plan(df)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "size(ds" in plan or "size(ds" in opt
+    # pair stream comes from the Generate (explode of combinations),
+    # not from a gram-keyed join: the only joins left are the two
+    # per-doc size attachments.
+    assert "Generate explode" in plan
+    assert "gram#" not in opt.split("Generate")[0], (
+        "gram column flows above the pair explode — self-join shape is back"
+    )
 
 
 def test_ngram_candidate_filter_below_aggregate(spark):
@@ -249,3 +262,119 @@ def test_new_round4_text_operators_plan_quality(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_repetition_metrics_zero_shuffle(spark):
+    """r06: the Gopher repetition signals are per-document statistics
+    computed with sorted-array folds inside the row — the plan must
+    contain NO Exchange (the old frequency-table formulation had three)
+    and no Python."""
+    from name_matcher_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, None)],
+        "doc_id long, text string",
+    )
+    plan = _plan(repetition_metrics(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_pipeline_zero_shuffle(spark):
+    """r06: the composed C4/Gopher filter fuses quality + langid into
+    the repetition pass — one projection, no join, no Exchange."""
+    from name_matcher_spark.operators.text import text_filter_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog " * 5)],
+        "doc_id long, text string",
+    )
+    plan = _plan(text_filter_pipeline(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_repetition_fold_matches_frequency_table(spark):
+    """Differential gate for the r06 sorted-fold rewrite: the fold must
+    reproduce the old explode->frequency-table formulation bit for bit
+    on the planted edge docs (runs, loops, single-token, empty, NULL,
+    multiline dups)."""
+    from name_matcher_spark import harness
+    from name_matcher_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        harness.REPETITION_EXTRA_DOCS + [(999, None)],
+        "doc_id long, text string",
+    )
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    toks = F.filter(F.split(F.lower(F.trim(t)), "\\s+"), lambda x: x != "")
+    base = docs.select(
+        F.col("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_lines_distinct"),
+        toks.alias("toks"),
+    ).withColumn("n_tokens", F.size(F.col("toks")).cast("long"))
+    n = F.col("n_tokens")
+    grams2 = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0)).cast("int")),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0)).cast("int")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams5 = F.when(
+        n >= 5,
+        F.expr(
+            "transform(sequence(1, int(n_tokens) - 4),"
+            " i -> concat_ws(' ', slice(toks, i, 5)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(grams2, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(grams5, lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram"))),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    freq = (
+        exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("c").alias("maxc"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("maxc"))).alias("max2"),
+            F.max(F.when(F.col("n") == 5, F.col("dupc"))).alias("dup5"),
+        )
+    )
+    out = base.join(freq, on="doc_id", how="left")
+    frac = lambda mass: F.round(  # noqa: E731
+        F.least(F.lit(1.0), mass / F.col("n_tokens").cast("double")), 4
+    )
+    old = out.select(
+        "doc_id",
+        F.col("n_lines"),
+        F.col("n_tokens"),
+        F.when(
+            F.col("n_lines") > 0,
+            F.round(F.lit(1.0) - F.col("n_lines_distinct").cast("double") / F.col("n_lines"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            F.col("max2").isNotNull() & (F.col("n_tokens") > 0),
+            frac(F.col("max2").cast("double") * 2.0),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+        F.when(
+            F.col("dup5").isNotNull() & (F.col("n_tokens") > 0),
+            frac(F.col("dup5").cast("double") * 5.0),
+        ).otherwise(F.lit(0.0)).alias("dup_5gram_frac"),
+    )
+    new = repetition_metrics(docs)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
