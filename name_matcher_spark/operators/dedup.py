@@ -885,11 +885,15 @@ def line_dedup(
     streaming line store, streaming/dedup.py) — ``min_docs`` is then
     the caller's concern. Default None derives it from ``docs``.
 
-    Scale shape: posexplode -> frequency groupBy on the line hash ->
-    left_anti join on the same hash -> regroup by doc — three linear
-    keyed shuffles, no all-pairs. The boilerplate side is the DISTINCT
-    over-threshold hash set, typically tiny relative to the corpus
-    (AQE broadcasts it when it fits).
+    Scale shape (r06): posexplode -> frequency groupBy on the line
+    hash -> ONE flagging join on the same hash -> ONE doc-keyed
+    aggregate computing the rebuilt text, kept count and total count
+    together (collect_list skips the NULL the non-kept flag produces,
+    so the keep/drop split happens inside the aggregate) — two linear
+    keyed shuffles of the line table instead of the old anti join +
+    two separate doc regroupings. No all-pairs. The boilerplate side
+    is the DISTINCT over-threshold hash set, typically tiny relative
+    to the corpus (AQE broadcasts it when it fits).
     """
     lines = exploded_lines(docs, id_col, text_col, hash_fn)
     boiler = (
@@ -900,24 +904,31 @@ def line_dedup(
         if boilerplate is None
         else boilerplate.select("k")
     )
-    kept = lines.join(boiler, on="k", how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = lines.join(
+        boiler.withColumn("_boiler", F.lit(True)), on="k", how="left"
+    )
+    keep = F.col("_boiler").isNull()
+    per_doc = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    # when() yields NULL for boilerplate lines and
+                    # collect_list drops NULLs — only kept lines enter
+                    # the rebuilt text, in original position order.
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                    )
                 ),
                 lambda x: x["line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count("*").alias("n_lines_kept"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_lines_kept"),
+        F.count("*").alias("n_lines"),
     )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     return (
         docs.select(id_col)
-        .join(totals, on=id_col, how="left")
-        .join(rebuilt, on=id_col, how="left")
+        .join(per_doc, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

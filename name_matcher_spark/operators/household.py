@@ -45,8 +45,25 @@ def _with_row_id(out: DataFrame) -> DataFrame:
     partitioning and mismatch the offset map — it fails loudly instead.
     It also leaves no CacheManager entry behind (a persist here leaked
     one cache entry per call; checkpoint blocks are GC-reclaimed with
-    the DataFrame)."""
-    n_parts = max(out.sparkSession.sparkContext.defaultParallelism, 1)
+    the DataFrame).
+
+    r06: the report subtree is checkpointed BEFORE repartitionByRange —
+    the range partitioner SAMPLES its child, so unmaterialized it
+    executed the entire upstream (match join + aggregations) twice
+    (measured ~0.6 s of a 1.7 s option-5 wall at sf0.1). The
+    materialized count also sizes the range-partition count from the
+    DATA (~1M report rows per task, clamped by the session parallelism)
+    instead of a flat defaultParallelism that made 32 near-empty
+    partitions out of hundreds of rows."""
+    out = out.localCheckpoint(eager=True)
+    n_rows = out.count()  # metadata-cheap: already materialized
+    n_parts = max(
+        1,
+        min(
+            out.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // 1_000_000),
+        ),
+    )
     ranged = (
         out.repartitionByRange(n_parts, "uuid", "hh_id")
         .withColumn("_pid", F.spark_partition_id())

@@ -581,6 +581,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     fh, fw, comps = sof
     if fh <= 0 or fw <= 0 or fh > 1 << 16 or fw > 1 << 16:
         raise ValueError("bad dimensions")
+    # Pixel-PRODUCT cap mirroring decode_png's zip-bomb guard: the SOF
+    # fields are 16-bit, so the per-axis check above is vacuous against
+    # a hostile 65535x65535 header, which would allocate ~17 GB of
+    # int32 coefficient stores per component from a few hundred input
+    # bytes — a MemoryError that escapes the (ValueError, ...) nets in
+    # sample_video_frames/resize_images and kills the job despite
+    # on_error='null'. Raise BEFORE any allocation; 16 Mpixel bounds
+    # the padded stores to low hundreds of MB worst case.
+    if fh * fw > 1 << 24:
+        raise ValueError("image too large")
     if len(body) < 1:
         raise ValueError("short SOS segment")
     ns = body[0]

@@ -274,7 +274,15 @@ def resize_images(
                 mid = None if pd.isna(mid) else int(mid)
                 decode = decoders.get(mime)
                 if decode is None:
-                    raise NotImplementedError(f"no image codec for {mime!r}")
+                    # mime is ROW DATA from the crawl: under the
+                    # production on_error='null' posture a stray
+                    # image/gif or NULL mime must yield a null-stats
+                    # row like every other malformed input, not kill
+                    # the job; the loud reject stays for 'raise'.
+                    if on_error == "raise":
+                        raise NotImplementedError(f"no image codec for {mime!r}")
+                    rows.append((mid, None, None, None, None, None))
+                    continue
                 try:
                     px = resize_area(decode(bytes(blob)), out_h, out_w)
                 except (ValueError, struct.error, TypeError):

@@ -164,3 +164,45 @@ def test_resize_area_property_vs_naive_reference():
         if ch == 0:
             exp = exp[:, :, 0]
         assert np.array_equal(got, exp), (shape, oh, ow)
+
+
+def test_resize_unknown_mime_nulls_under_null_posture(spark):
+    """mime is crawl row data: an unsupported or NULL mime must yield a
+    null-stats row under on_error='null' (the production posture) and
+    still raise loudly under on_error='raise'."""
+    from name_matcher_spark.operators.multimodal import encode_bmp
+    from name_matcher_spark.operators.video import resize_images
+
+    px = np.full((6, 6, 3), 9, dtype=np.uint8)
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(px))),
+        (2, "image/gif", bytearray(b"GIF89a")),
+        (3, None, bytearray(b"....")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, content binary"
+    )
+    out = {r.media_id: r for r in resize_images(df, 3, 3).collect()}
+    assert out[1].mean_r == 9.0
+    assert out[2].width is None and out[2].mean_r is None
+    assert out[3].width is None and out[3].mean_r is None
+    with pytest.raises(Exception, match="no image codec"):
+        resize_images(df, 3, 3, on_error="raise").collect()
+
+
+def test_decode_jpeg_hostile_sof_dims_rejected_before_allocation():
+    """A few-hundred-byte blob claiming 65535x65535 in its SOF must be
+    rejected with ValueError BEFORE the coefficient stores are
+    allocated (~17 GB per component otherwise), so the on_error='null'
+    nets catch it like any other malformed input."""
+    import struct as _struct
+
+    from name_matcher_spark.operators.jpeg import decode_jpeg
+
+    # SOI + minimal SOF0 claiming 65535x65535, 1 component + SOS
+    sof = bytes([8]) + _struct.pack(">HH", 65535, 65535) + bytes([1, 1, 0x11, 0])
+    seg = b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    sos = b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    blob = b"\xff\xd8" + seg + sos + b"\x00" * 64 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(blob)

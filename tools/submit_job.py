@@ -70,6 +70,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem for the path's OWN
+    scheme (the streaming/dedup.py store idiom): a driver-local
+    os.path.exists is always False for a remote --out URI (s3://,
+    hdfs://), which silently skipped the clustering drain and reported
+    pairs=0 even though the linkage drain succeeded."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def run_stream(spark, args) -> dict:
     """Incremental pipeline: pages stream -> per-batch fuzzy match vs
     the reference corpus -> maintained cluster label store."""
@@ -120,9 +131,8 @@ def run_stream(spark, args) -> dict:
             max_block_rows=args.max_block_rows,
         )
         q1.awaitTermination()
-        import os as _os
 
-        if _os.path.exists(pairs_dir):
+        if _fs_exists(spark, pairs_dir):
             # an empty input stream never creates the pairs sink; a
             # stream source on a missing path would fail the run AFTER
             # the linkage drain already succeeded
@@ -139,19 +149,17 @@ def run_stream(spark, args) -> dict:
     # matched nothing leaves the pairs sink with no data files (and the
     # label store never created) — the summary must not crash a run
     # whose streaming work succeeded.
-    import os
-
     pairs_schema = (
         "id_1 long, id_2 long, confidence double, batch_id long"
     )
     n_pairs = (
         spark.read.schema(pairs_schema).parquet(pairs_dir).count()
-        if os.path.exists(pairs_dir)
+        if _fs_exists(spark, pairs_dir)
         else 0
     )
     n_nodes = (
         read_clusters(spark, f"{out}/clusters").count()
-        if os.path.exists(f"{out}/clusters")
+        if _fs_exists(spark, f"{out}/clusters")
         else 0
     )
     return {
