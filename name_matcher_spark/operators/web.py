@@ -224,12 +224,14 @@ def _idna_fold_udf():
     >63-char labels) pass through unchanged — an unfoldable host must
     not fail the crawl, it just keeps its own dedup key.
 
-    The eval type is passed explicitly (``PandasUDFType.SCALAR`` via the
-    ``functionType`` arg): this module uses ``from __future__ import
-    annotations``, which turns the type hints into strings Spark cannot
-    resolve without pandas in the module globals — and pandas must stay
-    a lazy import here so the pure-JVM default path never needs it."""
-    from pyspark.sql.functions import PandasUDFType
+    The SCALAR eval type is conveyed through REAL annotation objects
+    assigned post-hoc (not source hints): this module uses ``from
+    __future__ import annotations``, which turns source hints into
+    strings Spark cannot resolve without pandas in the module globals —
+    and pandas must stay a lazy import here so the pure-JVM default
+    path never needs it. (Replaces the deprecated ``PandasUDFType``
+    ``functionType`` argument, r06.)"""
+    import pandas as _pd
     from pyspark.sql.types import StringType
 
     def fold(hosts):
@@ -243,7 +245,8 @@ def _idna_fold_udf():
 
         return hosts.map(one)
 
-    return F.pandas_udf(fold, StringType(), PandasUDFType.SCALAR)
+    fold.__annotations__ = {"hosts": _pd.Series, "return": _pd.Series}
+    return F.pandas_udf(fold, StringType())
 
 
 def canonical_url(
