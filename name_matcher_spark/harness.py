@@ -3670,8 +3670,15 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extraction regexps) runs single-task no matter how many
         # cores exist (measured: 4->16 cores gave only 1.3x). Rows
         # here are narrow but row-COSTLY; pin the fan-out explicitly.
+        # Lazy checkpoint (r06): the explicit repartition(N) exchange is
+        # not AQE-coalescible, so the pinned layout is identical whether
+        # the checkpoint materializes in its own job or inside the first
+        # consumer's job — and fusing it into the dedup tier's edge job
+        # removes one serial stage boundary from the pipeline's critical
+        # path (guide §2.6: actions are only sequential because the
+        # driver calls them sequentially).
         spark.sparkContext.defaultParallelism
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # Extract BEFORE the near-dup tiers: page-level shingling is
     # template-dominated on real crawls (every doc shares the site
@@ -3704,7 +3711,7 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("uuid"),
         "entity_text",
         "first_name", "middle_name", "last_name", "birthdate", "hh_id",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     dedup_pins: list[DataFrame] = []
     disp = dedup_pipeline(
@@ -3722,9 +3729,7 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # here, bit-identical output — the oracle replays the join
         # formulation and still hash-matches).
         verify_mode="sets",
-    ).localCheckpoint()
-    for df in dedup_pins:  # checkpoint materialized -> caches are dead
-        df.unpersist()
+    ).localCheckpoint(eager=False)
 
     kept_ids = disp.filter(F.col("status") == "kept").select(
         F.col("doc_id").alias("id")
@@ -3735,10 +3740,15 @@ def wp_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         match_algo1(la, lb)
         .select("id_1", "id_2", "confidence")
         # same AQE-coalesce + checkpoint-pin hazard: the clustering
-        # loop's per-round work inherits this layout.
+        # loop's per-round work inherits this layout. This checkpoint
+        # stays EAGER: its job is also what materializes the lazy disp
+        # checkpoint above (via the kept_ids semi join), so the dedup
+        # pins may only be drained after it has run.
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
+    for df in dedup_pins:  # disp checkpoint materialized -> caches are dead
+        df.unpersist()
 
     counts = pairs.groupBy(F.col("id_1").alias("doc_id")).agg(
         F.count("*").alias("n_pair")
