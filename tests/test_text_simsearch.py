@@ -258,3 +258,86 @@ def test_token_count_null_text_is_zero(spark):
     got = {r.doc_id: r for r in quality_metrics(docs).collect()}
     assert got[1].n_tokens == 0
     assert got[2].n_tokens == 2
+
+
+def test_langid_barrier_matches_inline_reference(spark):
+    """The r06 barrier formulation (counts materialized once behind a
+    Generate, vote over attributes) must be bit-identical to the
+    original inline CASE-chain formulation on edge docs: empty/NULL
+    text, threshold-straddling script fractions, marker/script
+    conflicts, and tie-order cases."""
+    from name_matcher_spark.operators.text import (
+        LANG_MARKERS,
+        SCRIPT_CLASSES,
+        SCRIPT_MIN_FRACTION_DEN,
+        _marker_hits,
+    )
+
+    def inline_reference(docs, id_col="doc_id", text_col="text"):
+        t = F.col(text_col)
+        n_nonws = F.length(F.regexp_replace(t, "\\s+", ""))
+        script = {
+            lang: F.regexp_count(t, F.lit(pat)) for lang, pat in SCRIPT_CLASSES
+        }
+        eligible = {
+            lang: (c > 0) & (c * SCRIPT_MIN_FRACTION_DEN >= n_nonws)
+            for lang, c in script.items()
+        }
+        hits = {
+            lang: _marker_hits(t, words) for lang, words in LANG_MARKERS.items()
+        }
+        best_lang, best_score = F.lit("und"), F.lit(0)
+        for lang in LANG_MARKERS:
+            is_better = hits[lang] > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, hits[lang]).otherwise(best_score)
+        s_lang, s_score = F.lit(None).cast("string"), F.lit(0)
+        for lang, _pat in SCRIPT_CLASSES[1:]:
+            is_better = eligible[lang] & (script[lang] > s_score)
+            s_lang = F.when(is_better, F.lit(lang)).otherwise(s_lang)
+            s_score = F.when(is_better, script[lang]).otherwise(s_score)
+        final_lang = (
+            F.when(eligible["ja"], F.lit("ja"))
+            .when(s_lang.isNotNull(), s_lang)
+            .otherwise(best_lang)
+        )
+        final_score = (
+            F.when(eligible["ja"], script["ja"])
+            .when(s_lang.isNotNull(), s_score)
+            .otherwise(best_score)
+        )
+        return docs.select(
+            F.col(id_col),
+            final_lang.alias("detected_lang"),
+            final_score.cast("long").alias("lang_score"),
+        )
+
+    rows = [
+        (1, "the cat and the dog went to the market"),
+        (2, "el perro y el gato es una historia que es muy buena"),
+        (3, ""),
+        (4, None),
+        (5, "これはテストのためのかなだけの文です"),
+        (6, "日本国憲法第九条の規定により戦争を放棄する"),
+        (7, "The quick brown fox and the lazy dog went to the market 中"),
+        (8, "the 漢字"),
+        (9, "   \n\t  "),
+        (10, "Αυτό είναι ελληνικό the and of to is that with κείμενο"),
+        # exactly at the 1/20 threshold: 1 Han char, 20 non-ws chars
+        (11, "abcdefghij abcdefghi 中"),
+        # just below: 1 Han char, 21 non-ws chars
+        (12, "abcdefghij abcdefghij 中"),
+        (13, "le la les est une dans pour el la los"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lang_id(d)
+    ref = inline_reference(d)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_lang_id_zero_shuffle(spark):
+    """lang_id is a pure per-row operator: no Exchange in its plan."""
+    d = spark.createDataFrame([(1, "the cat and the dog")], "doc_id long, text string")
+    plan = lang_id(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
